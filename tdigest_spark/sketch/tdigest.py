@@ -1,0 +1,445 @@
+"""Merging t-digest core — pure numpy, no Spark dependency.
+
+From-scratch implementation of the Dunning/Ertl *merging* t-digest
+(the algorithm behind the reference's vector variant,
+``tdigest/src/Data/TDigest/Vector/Internal.hs:29-206`` in
+phadej/tdigest), re-expressed as columnar numpy passes:
+
+* state = sorted ``means``/``weights`` arrays + exact running
+  ``vmin``/``vmax`` + ``total_weight`` + compression ``delta``
+  (cf. ``Vector/Internal.hs:29-36``; we track exact min/max instead of
+  left/rightmost centroid centers, cf. ``Tree/Internal.hs:114-118``)
+* compression = single greedy pass over cumulative weight under the k1
+  scale function ``k(q) = delta*(asin(2q-1)/pi + 1/2)``
+  (``Vector/Internal.hs:106-136``), vectorized via ``np.searchsorted``
+  over cluster boundaries instead of a per-centroid walk
+  (``Vector/Internal.hs:142-167``)
+* merge = concat + stable sort + one compression pass
+  (``Vector/Internal.hs:176-186``), with the reference's
+  direction-alternation bias mitigation (``Vector/Internal.hs:193-206``)
+
+Query semantics (quantile/cdf) interpolate between *centroid centers*
+in rank space. Deliberate divergence from the reference's
+midpoint-histogram-bin interpolation (``Postprocess/Internal.hs:70-106``):
+center-rank interpolation makes a *lossless* digest (delta large enough
+that no merging occurs) agree bit-for-bit-modulo-rounding with SQL
+``quantile_cont`` / mid-rank cdf, which is what the DuckDB oracle
+checks. Within the published O(1/delta) rank-error bound both
+conventions coincide.
+
+NaN/None policy (undefined in the reference, see SURVEY.md §1.2): nulls
+and NaNs are dropped, matching SQL aggregate semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["TDigest", "ksize", "ksize_inv"]
+
+_EMPTY = np.empty(0, dtype=np.float64)
+
+
+def ksize(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """k1 scale function: k(q) = delta * (asin(2q-1)/pi + 1/2).
+
+    Mirrors ``Vector/Internal.hs:106-116`` (clamping included).
+    """
+    q = np.clip(q, 0.0, 1.0)
+    return delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5)
+
+
+def ksize_inv(k: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """Inverse of :func:`ksize`: q = (sin((k/delta - 1/2)*pi) + 1)/2.
+
+    Mirrors ``Vector/Internal.hs:129-136`` (clamped to [0,1]).
+    """
+    k = np.asarray(k, dtype=np.float64)
+    out = 0.5 * (np.sin((k / delta - 0.5) * np.pi) + 1.0)
+    return np.clip(out, 0.0, 1.0)
+
+
+def _compress(
+    means: np.ndarray, weights: np.ndarray, delta: int, reverse: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """One greedy k1 merge pass over mean-sorted centroids.
+
+    Equivalent to the reference's ``merge`` walk
+    (``Vector/Internal.hs:142-167``) but finds each cluster's end with a
+    ``searchsorted`` on cumulative weight instead of stepping
+    one centroid at a time: cluster starting at cumulative fraction q0
+    absorbs centroids while cum/tw <= kinv(k(q0)+1).
+
+    ``reverse=True`` runs the pass from the top end — the reference's
+    direction-alternation anti-bias hack (``Vector/Internal.hs:193-206``).
+    """
+    n = means.shape[0]
+    if n <= 1:
+        return means, weights
+    if reverse:
+        means = means[::-1]
+        weights = weights[::-1]
+    cum = np.cumsum(weights)
+    tw = cum[-1]
+    # Fast path: no adjacent pair is mergeable -> digest already compact.
+    # Pair (i, i+1) is mergeable iff k(cum[i+1]/tw) - k(cum[i-1]/tw) <= 1.
+    kb = ksize(np.concatenate(([0.0], cum)) / tw, float(delta))
+    if not np.any(kb[2:] - kb[:-2] <= 1.0):
+        if reverse:
+            return means[::-1].copy(), weights[::-1].copy()
+        return means, weights
+
+    out_m: list[float] = []
+    out_w: list[float] = []
+    i = 0
+    while i < n:
+        c0 = cum[i - 1] if i > 0 else 0.0
+        qlim = float(ksize_inv(ksize(c0 / tw, float(delta)) + 1.0, float(delta)))
+        j = int(np.searchsorted(cum, qlim * tw * (1.0 + 1e-15), side="right")) - 1
+        if j < i:
+            j = i
+        if j == i:
+            # singleton cluster: copy exactly
+            out_m.append(float(means[i]))
+            out_w.append(float(weights[i]))
+        else:
+            mw = weights[i : j + 1]
+            mv = means[i : j + 1]
+            w = float(mw.sum())
+            # pivoted weighted mean for stability (the reference flags its
+            # combinedCentroid as "probably not num. stable",
+            # Tree/Internal.hs:296-305); clamp into the cluster's range
+            pivot = float(mv[0])
+            m = pivot + float(np.dot(mw, mv - pivot)) / w
+            out_m.append(min(max(m, float(mv[0])), float(mv[-1])))
+            out_w.append(w)
+        i = j + 1
+    m = np.asarray(out_m, dtype=np.float64)
+    w = np.asarray(out_w, dtype=np.float64)
+    if reverse:
+        m = m[::-1].copy()
+        w = w[::-1].copy()
+    # Weighted means of consecutive sorted groups are non-decreasing, but
+    # fp roundoff can produce micro-inversions; restore the invariant.
+    if m.shape[0] > 1 and np.any(np.diff(m) < 0):
+        order = np.argsort(m, kind="stable")
+        m = m[order]
+        w = w[order]
+    return m, w
+
+
+@dataclass
+class TDigest:
+    """Mergeable rank-statistics sketch (merging t-digest, k1 scale)."""
+
+    means: np.ndarray = field(default_factory=lambda: _EMPTY)
+    weights: np.ndarray = field(default_factory=lambda: _EMPTY)
+    total_weight: float = 0.0
+    vmin: float = math.inf
+    vmax: float = -math.inf
+    delta: int = 200
+    direction: bool = True
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def empty(cls, delta: int = 200) -> "TDigest":
+        return cls(delta=delta)
+
+    @classmethod
+    def from_values(
+        cls, values: np.ndarray, delta: int = 200, weights: np.ndarray | None = None
+    ) -> "TDigest":
+        """Bulk build (cf. ``Vector/Internal.hs:278-279``): sort once,
+        one compression pass. Drops NaN. Weights default to 1."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if weights is None:
+            v = v[~np.isnan(v)]
+            w = np.ones_like(v)
+        else:
+            w = np.asarray(weights, dtype=np.float64).ravel()
+            keep = ~(np.isnan(v) | np.isnan(w) | (w <= 0))
+            v, w = v[keep], w[keep]
+        if v.size == 0:
+            return cls.empty(delta)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        # build at working compression (2x public delta): halves merged
+        # rank error for the same final size; `compressed()` enforces
+        # the public delta once at the end
+        m, w2 = _compress(v, w, cls.WORK_MULT * delta, reverse=False)
+        return cls(
+            means=m,
+            weights=w2,
+            total_weight=float(w.sum()),
+            vmin=float(v[0]),
+            vmax=float(v[-1]),
+            delta=delta,
+            direction=False,
+        )
+
+    @classmethod
+    def singleton(cls, x: float, delta: int = 200) -> "TDigest":
+        """1-point digest (cf. ``Tree/Internal.hs:471-472``)."""
+        return cls.from_values(np.asarray([x]), delta)
+
+    # ---------------- algebra ----------------
+
+    @property
+    def size(self) -> int:
+        """Number of centroids (cf. ``Vector/Internal.hs:59-60``)."""
+        return int(self.means.shape[0])
+
+    def is_empty(self) -> bool:
+        return self.total_weight <= 0.0
+
+    # Lazy-compression gate: intermediate merges just concat until the
+    # centroid count exceeds LAZY_REL * delta, mirroring the reference's
+    # deferred compression (relMaxSize=25, Tree/Internal.hs:379-384;
+    # buffer > 32*2*delta, Vector/Internal.hs:208-220). Repeatedly
+    # force-compressing at every merge compounds within-cluster loss —
+    # lazy merging keeps tree-reduce error near single-pass.
+    LAZY_REL = 20
+    # Intermediate compressions run at WORK_MULT * delta ("two-level
+    # compression" as in production merging digests); only `compressed()`
+    # enforces the public delta.
+    WORK_MULT = 2
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        """Associative-within-bound merge: concat, stable mergesort by
+        mean, lazy k1 pass with alternating direction
+        (cf. ``Vector/Internal.hs:176-206``). Deltas must match
+        (runtime check replacing the reference's type-level Nat,
+        ``Tree/Internal.hs:36-38``)."""
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        if self.delta != other.delta:
+            raise ValueError(
+                f"cannot merge digests with different delta ({self.delta} vs {other.delta})"
+            )
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        direction = not (self.direction ^ other.direction)
+        if m.shape[0] > self.LAZY_REL * self.delta:
+            m, w = _compress(m, w, self.WORK_MULT * self.delta, reverse=direction)
+        return TDigest(
+            means=m,
+            weights=w,
+            total_weight=self.total_weight + other.total_weight,
+            vmin=min(self.vmin, other.vmin),
+            vmax=max(self.vmax, other.vmax),
+            delta=self.delta,
+            direction=direction,
+        )
+
+    def compressed(self) -> "TDigest":
+        """Force-compress to the public delta (the reference's
+        ``finalize``/``forceCompress``, ``Vector/Internal.hs:188-206``).
+        Call once before persisting a digest; queries work either way."""
+        if self.size <= 1:
+            return self
+        m, w = _compress(self.means, self.weights, self.delta, reverse=self.direction)
+        return TDigest(
+            means=m,
+            weights=w,
+            total_weight=self.total_weight,
+            vmin=self.vmin,
+            vmax=self.vmax,
+            delta=self.delta,
+            direction=not self.direction,
+        )
+
+    def add_values(self, values: np.ndarray) -> "TDigest":
+        """Buffered insert of a batch (the UDAF update step)."""
+        return self.merge(TDigest.from_values(values, self.delta))
+
+    @staticmethod
+    def merge_all(digests: list["TDigest"]) -> "TDigest":
+        out = TDigest.empty(digests[0].delta if digests else 200)
+        for d in digests:
+            out = out.merge(d)
+        return out
+
+    # ---------------- queries ----------------
+
+    def _centers(self) -> np.ndarray:
+        return np.cumsum(self.weights) - self.weights / 2.0
+
+    def quantile(self, q: float) -> float | None:
+        """Rank q in [0,1] -> value; linear interpolation between
+        centroid centers in rank space, padded by exact min/max.
+
+        Lossless digests reproduce SQL ``quantile_cont`` exactly
+        (cf. reference quantile, ``Postprocess/Internal.hs:97-106``;
+        doctest parity: median of [1..1000] = 500.5, ``Vector.hs:20-21``).
+        """
+        if self.is_empty():
+            return None
+        tw = self.total_weight
+        if self.size == 1:
+            return float(self.means[0])
+        t = np.clip(q, 0.0, 1.0) * (tw - 1.0) + 0.5
+        xs = np.concatenate(([0.0], self._centers(), [tw]))
+        ys = np.concatenate(([self.vmin], self.means, [self.vmax]))
+        return float(np.interp(t, xs, ys))
+
+    def quantiles(self, qs: np.ndarray) -> np.ndarray:
+        if self.is_empty():
+            return np.full(len(qs), np.nan)
+        tw = self.total_weight
+        if self.size == 1:
+            return np.full(len(qs), float(self.means[0]))
+        t = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * (tw - 1.0) + 0.5
+        xs = np.concatenate(([0.0], self._centers(), [tw]))
+        ys = np.concatenate(([self.vmin], self.means, [self.vmax]))
+        return np.interp(t, xs, ys)
+
+    def median(self) -> float | None:
+        return self.quantile(0.5)
+
+    def icdf(self, q: float) -> float | None:
+        """Alias of quantile (cf. ``Postprocess.hs:60-62``)."""
+        return self.quantile(q)
+
+    def cdf(self, x: float) -> float | None:
+        """Mid-rank cdf: P(X < x) + P(X = x)/2 estimate.
+
+        At a value equal to a centroid mean, returns the centroid's
+        center rank / tw — for a lossless digest this is exactly
+        ``(count(<x) + 0.5*count(=x)) / n``
+        (cf. reference cdf, ``Postprocess/Internal.hs:153-162``).
+        """
+        if self.is_empty():
+            return None
+        tw = self.total_weight
+        m = self.means
+        centers = self._centers()
+        i = int(np.searchsorted(m, x, side="left"))
+        j = int(np.searchsorted(m, x, side="right"))
+        if i < j:  # x equals centroid mean(s)
+            return float(0.5 * (centers[i] + centers[j - 1]) / tw)
+        if x < self.vmin:
+            return 0.0
+        if x > self.vmax:
+            return 1.0
+        xs = np.concatenate(([self.vmin], m, [self.vmax]))
+        ts = np.concatenate(([0.0], centers, [tw]))
+        # np.interp needs increasing xp; dedupe exact ties conservatively
+        keep = np.concatenate(([True], np.diff(xs) > 0))
+        return float(np.interp(x, xs[keep], ts[keep]) / tw)
+
+    def mean(self) -> float | None:
+        """Exactly preserved under merging (weighted-mean identity),
+        cf. ``Postprocess/Internal.hs:113-127``."""
+        if self.is_empty():
+            return None
+        return float(np.dot(self.means, self.weights) / self.total_weight)
+
+    def variance(self, ddof: int = 1) -> float | None:
+        """Between-centroid weighted variance with Bessel correction
+        (cf. ``Postprocess/Internal.hs:130-146``; exact when lossless).
+        """
+        if self.is_empty() or self.total_weight <= ddof:
+            return None
+        mu = self.mean()
+        d = self.means - mu
+        return float(np.dot(self.weights, d * d) / (self.total_weight - ddof))
+
+    def stddev(self, ddof: int = 1) -> float | None:
+        """sqrt(variance) — note the reference's NonEmpty module has a
+        missing-sqrt bug (``Tree/NonEmpty.hs:148-149``); we implement
+        the correct definition (``Postprocess.hs:50-51``)."""
+        v = self.variance(ddof)
+        return None if v is None else math.sqrt(max(v, 0.0))
+
+    def trimmed_mean(self, lo: float, hi: float) -> float | None:
+        """Mean of the rank slice [lo*tw, hi*tw], boundary centroids
+        included fractionally. Advertised-but-missing in the reference
+        (``tdigest/README.md:3``); exact on lossless digests, where it
+        equals sum(v_i * overlap_i) / sum(overlap_i) with
+        overlap_i = clamp(min(hi*n, i) - max(lo*n, i-1), 0, 1)."""
+        if self.is_empty() or hi <= lo:
+            return None
+        tw = self.total_weight
+        upper = np.cumsum(self.weights)
+        lower = upper - self.weights
+        frac = np.clip(
+            np.minimum(hi * tw, upper) - np.maximum(lo * tw, lower), 0.0, None
+        )
+        fw = frac.sum()
+        if fw <= 0:
+            return None
+        return float(np.dot(self.means, frac) / fw)
+
+    def histogram(self) -> list[tuple[float, float, float, float, float]]:
+        """Midpoint bins (lo, hi, mid, weight, cum_weight) per the
+        reference's ``histogramFromCentroids``
+        (``Postprocess/Internal.hs:70-90``): first bin [vmin, mid(x1,x2)],
+        middle [mid(i-1,i), mid(i,i+1)], last [mid, vmax]."""
+        if self.is_empty():
+            return []
+        m, w = self.means, self.weights
+        n = m.shape[0]
+        if n == 1:
+            return [(self.vmin, self.vmax, float(m[0]), float(w[0]), 0.0)]
+        mids = (m[:-1] + m[1:]) / 2.0
+        los = np.concatenate(([self.vmin], mids))
+        his = np.concatenate((mids, [self.vmax]))
+        cum = np.concatenate(([0.0], np.cumsum(w)[:-1]))
+        return [
+            (float(los[i]), float(his[i]), float(m[i]), float(w[i]), float(cum[i]))
+            for i in range(n)
+        ]
+
+    # ---------------- validation (cf. Vector/Internal.hs:231-246) ----------
+
+    def validate(self) -> None:
+        assert self.means.shape == self.weights.shape
+        if self.size:
+            assert np.all(np.diff(self.means) >= 0), "means must be sorted"
+            assert np.all(self.weights > 0), "weights must be positive"
+            assert abs(self.weights.sum() - self.total_weight) <= 1e-6 * max(
+                1.0, self.total_weight
+            ), "weight conservation"
+            assert self.vmin <= self.means[0] + 1e-9
+            assert self.vmax >= self.means[-1] - 1e-9
+
+    # ---------------- (de)serialization ----------------
+
+    def to_row(self) -> dict:
+        """Struct-row form used as the Spark/Arrow wire format
+        (replaces the reference's ``Binary`` instance,
+        ``Tree/Internal.hs:84-89``)."""
+        return {
+            "means": self.means.tolist(),
+            "weights": self.weights.tolist(),
+            "total_weight": float(self.total_weight),
+            "vmin": float(self.vmin) if self.total_weight else None,
+            "vmax": float(self.vmax) if self.total_weight else None,
+            "delta": int(self.delta),
+        }
+
+    @classmethod
+    def from_row(cls, row) -> "TDigest":
+        if row is None:
+            return cls.empty()
+        get = row.get if isinstance(row, dict) else lambda k: getattr(row, k)
+        means = np.asarray(get("means"), dtype=np.float64)
+        tw = float(get("total_weight") or 0.0)
+        if means.size == 0 or tw == 0.0:
+            return cls.empty(int(get("delta") or 200))
+        return cls(
+            means=means,
+            weights=np.asarray(get("weights"), dtype=np.float64),
+            total_weight=tw,
+            vmin=float(get("vmin")),
+            vmax=float(get("vmax")),
+            delta=int(get("delta")),
+        )
