@@ -1,0 +1,333 @@
+"""Distributed t-digest aggregation — the partial/merge UDAF shape.
+
+PySpark has no Python UDAF with an exposed merge state, so the
+partial+final aggregate the reference models as ``Monoid``/``Reducer``
+(``Tree/Internal.hs:65-77``, bench parallel fold
+``tdigest-bench/src/Simple.hs:289-295``) is built explicitly:
+
+  stage 1  ``mapInPandas``  — one digest per (input partition x group),
+           built per Arrow batch and merged lazily inside the partition.
+           This is the map-side combine: raw rows never shuffle, only
+           O(delta)-sized digest structs do.
+  stage 2  ``groupBy(keys).applyInPandas`` — merge partials per group.
+           For global (ungrouped) sketches or extreme partition counts,
+           a salted intermediate level bounds reducer fan-in
+           (tree-reduce; north_rule's explicit skew/salt handling).
+
+Plan shape at scale: scan (column-pruned to keys+value) -> Python
+partial agg (no shuffle) -> shuffle of ~n_partitions*n_groups tiny
+structs -> final merge. The shuffle volume is independent of row count,
+so the job scales linearly with input and the merge tree depth bounds
+any single reducer's fan-in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tdigest_spark.sketch.tdigest import TDigest
+
+DIGEST_TYPE = T.StructType(
+    [
+        T.StructField("means", T.ArrayType(T.DoubleType()), True),
+        T.StructField("weights", T.ArrayType(T.DoubleType()), True),
+        T.StructField("total_weight", T.DoubleType(), True),
+        T.StructField("vmin", T.DoubleType(), True),
+        T.StructField("vmax", T.DoubleType(), True),
+        T.StructField("delta", T.IntegerType(), True),
+    ]
+)
+
+_VALUE = "__td_value"
+_WEIGHT = "__td_weight"
+_SALT = "__td_salt"
+
+
+def _merge_rows(rows: Sequence, compress: bool = True) -> dict:
+    d = TDigest.merge_all([TDigest.from_row(r) for r in rows])
+    if compress:
+        d = d.compressed()
+    return d.to_row()
+
+
+def tdigest_agg(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    delta: int = 200,
+    weight_col: str | None = None,
+    digest_col: str = "digest",
+    salt: int | None = None,
+) -> DataFrame:
+    """Aggregate ``value_col`` into one t-digest per group.
+
+    Returns a DataFrame ``by... , digest_col struct`` with exactly one
+    row per group (one row total when ``by`` is empty).
+
+    ``salt``: optional intermediate merge fan-in for groups whose
+    partial count is huge (e.g. 1e5 input partitions) or whose keys are
+    skewed — partials are first merged within ``hash(partition) % salt``
+    buckets, then across buckets (two-level tree merge).
+    """
+    by = list(by)
+    cols = [F.col(c) for c in by] + [F.col(value_col).cast("double").alias(_VALUE)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias(_WEIGHT))
+    src = df.select(*cols)
+
+    out_schema = T.StructType(
+        [src.schema[c] for c in by] + [T.StructField(digest_col, DIGEST_TYPE, True)]
+    )
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, TDigest] = {}
+        for pdf in batches:
+            if by:
+                for key, g in pdf.groupby(by, sort=False, dropna=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    w = g[_WEIGHT].to_numpy() if weight_col else None
+                    d = TDigest.from_values(g[_VALUE].to_numpy(), delta, weights=w)
+                    accs[key] = accs[key].merge(d) if key in accs else d
+            else:
+                w = pdf[_WEIGHT].to_numpy() if weight_col else None
+                d = TDigest.from_values(pdf[_VALUE].to_numpy(), delta, weights=w)
+                accs[()] = accs[()].merge(d) if () in accs else d
+        if not accs:
+            return
+        data: dict[str, list] = {c: [] for c in by}
+        data[digest_col] = []
+        for key, d in accs.items():
+            for c, k in zip(by, key):
+                data[c].append(k)
+            # ship partials at working size (lazy-merged); final stage
+            # enforces the public delta once
+            data[digest_col].append(d.to_row())
+        yield pd.DataFrame(data)
+
+    partials = src.mapInPandas(build_partials, out_schema)
+
+    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        out[digest_col] = [_merge_rows(list(pdf[digest_col]))]
+        return pd.DataFrame(out)
+
+    if salt:
+        salted_schema = T.StructType(
+            [T.StructField(_SALT, T.IntegerType(), False)] + list(out_schema.fields)
+        )
+        # one partial per (input partition x key) -> spreading by source
+        # partition id gives a balanced, deterministic bucket assignment
+        lvl1 = partials.withColumn(
+            _SALT, (F.spark_partition_id() % salt).cast("int")
+        )
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {_SALT: [pdf[_SALT].iloc[0]]}
+            for c in by:
+                out[c] = [pdf[c].iloc[0]]
+            out[digest_col] = [_merge_rows(list(pdf[digest_col]), compress=False)]
+            return pd.DataFrame(out)
+
+        mid = lvl1.groupBy(_SALT, *by).applyInPandas(merge_salted, salted_schema)
+        partials = mid.drop(_SALT)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_partials, out_schema)
+    # global sketch: single final reduce over (salted-or-not) partials
+    return partials.coalesce(1).mapInPandas(
+        lambda it: iter(
+            [
+                pd.DataFrame(
+                    {digest_col: [_merge_rows([r for pdf in it for r in pdf[digest_col]])]}
+                )
+            ]
+        ),
+        T.StructType([T.StructField(digest_col, DIGEST_TYPE, True)]),
+    )
+
+
+def tdigest_merge_agg(
+    df: DataFrame, by: Sequence[str] = (), digest_col: str = "digest"
+) -> DataFrame:
+    """Merge an existing digest column (the reference's ``<>``/``mconcat``,
+    ``Tree/Internal.hs:143-153``): one merged digest per group.
+
+    Same partial/final shape as :func:`tdigest_agg` — partition-local
+    merges first, so only one digest per (partition x group) shuffles.
+    """
+    by = list(by)
+    out_schema = T.StructType(
+        [df.schema[c] for c in by] + [T.StructField(digest_col, DIGEST_TYPE, True)]
+    )
+    src = df.select(*by, digest_col)
+
+    def partial_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, TDigest] = {}
+        for pdf in batches:
+            groups = (
+                pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+            )
+            for key, g in groups:
+                key = key if isinstance(key, tuple) else (key,)
+                d = TDigest.merge_all([TDigest.from_row(r) for r in g[digest_col]])
+                accs[key] = accs[key].merge(d) if key in accs else d
+        if not accs:
+            return
+        data: dict[str, list] = {c: [] for c in by}
+        data[digest_col] = []
+        for key, d in accs.items():
+            for c, k in zip(by, key):
+                data[c].append(k)
+            data[digest_col].append(d.to_row())
+        yield pd.DataFrame(data)
+
+    partials = src.mapInPandas(partial_merge, out_schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        out[digest_col] = [_merge_rows(list(pdf[digest_col]))]
+        return pd.DataFrame(out)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(final, out_schema)
+    return partials.coalesce(1).mapInPandas(
+        lambda it: iter(
+            [
+                pd.DataFrame(
+                    {digest_col: [_merge_rows([r for pdf in it for r in pdf[digest_col]])]}
+                )
+            ]
+        ),
+        T.StructType([T.StructField(digest_col, DIGEST_TYPE, True)]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# query/stat extraction over digest rows
+# ---------------------------------------------------------------------------
+
+_STAT_ARITY = {
+    "quantile": 1,
+    "median": 0,
+    "icdf": 1,
+    "cdf": 1,
+    "mean": 0,
+    "variance": 0,
+    "stddev": 0,
+    "trimmed_mean": 2,
+    "total_weight": 0,
+    "vmin": 0,
+    "vmax": 0,
+    "size": 0,
+}
+
+
+def _eval_stat(d: TDigest, stat: str, args: tuple):
+    if stat == "total_weight":
+        return d.total_weight if not d.is_empty() else 0.0
+    if stat == "vmin":
+        return d.vmin if not d.is_empty() else None
+    if stat == "vmax":
+        return d.vmax if not d.is_empty() else None
+    if stat == "size":
+        return float(d.size)
+    return getattr(d, stat)(*args)
+
+
+def tdigest_stats(
+    df: DataFrame, spec: dict[str, tuple], digest_col: str = "digest"
+) -> DataFrame:
+    """Evaluate rank statistics on a digest column.
+
+    ``spec`` maps output column name -> (stat, *args), e.g.::
+
+        {"median": ("quantile", 0.5), "p99": ("quantile", 0.99),
+         "mu": ("mean",), "tm": ("trimmed_mean", 0.1, 0.9)}
+
+    Runs as one vectorized pass per Arrow batch; digests are tiny
+    (O(delta)) so this is driver-light and fully distributed.
+    """
+    keep = [c for c in df.columns if c != digest_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(name, T.DoubleType(), True) for name in spec]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            digests = [TDigest.from_row(r) for r in pdf[digest_col]]
+            for name, (stat, *args) in spec.items():
+                out[name] = [
+                    _eval_stat(d, stat, tuple(args)) for d in digests
+                ]
+                out[name] = out[name].astype("float64")
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
+
+
+def tdigest_cdf_at(
+    df: DataFrame, probe_col: str, out_col: str = "cdf", digest_col: str = "digest"
+) -> DataFrame:
+    """cdf evaluated at a per-row probe column (digest and probe in the
+    same row, e.g. after joining probes onto group digests)."""
+    keep = [c for c in df.columns if c != digest_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            vals = pdf[probe_col].to_numpy()
+            out[out_col] = [
+                TDigest.from_row(r).cdf(float(x))
+                for r, x in zip(pdf[digest_col], vals)
+            ]
+            out[out_col] = out[out_col].astype("float64")
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
+
+
+def tdigest_histogram(
+    df: DataFrame, digest_col: str = "digest", out_col: str = "histogram"
+) -> DataFrame:
+    """Explode a digest into its midpoint bins
+    (cf. ``Postprocess/Internal.hs:70-90``):
+    array<struct<lo,hi,mid,weight,cum_weight>>."""
+    bin_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+                T.StructField("mid", T.DoubleType()),
+                T.StructField("weight", T.DoubleType()),
+                T.StructField("cum_weight", T.DoubleType()),
+            ]
+        )
+    )
+    keep = [c for c in df.columns if c != digest_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + [T.StructField(out_col, bin_type, True)]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [
+                [
+                    {"lo": lo, "hi": hi, "mid": mid, "weight": w, "cum_weight": cw}
+                    for (lo, hi, mid, w, cw) in TDigest.from_row(r).histogram()
+                ]
+                for r in pdf[digest_col]
+            ]
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)

@@ -1,0 +1,202 @@
+"""t-digest query family for the driver contract.
+
+Every oracle-checked query here runs the digest in *lossless* mode
+(delta large enough that the k1 pass performs no merging — a legitimate
+operating point of the sketch) so the DuckDB oracle comparison is an
+exact value-hash match; approximate operation at real compression
+levels is covered by rank-error pytest assertions
+(tests/test_tdigest_core.py, tests/test_tdigest_spark.py) and by the
+rows-only `td_p99_compressed` query below.
+
+Float outputs are rounded identically on both sides (driver hashes
+values; see SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.digest_agg import (
+    tdigest_agg,
+    tdigest_cdf_at,
+    tdigest_merge_agg,
+    tdigest_stats,
+)
+from tdigest_spark.sources.tables import load
+
+LOSSLESS = 4_000_000  # > pi/2 * max group rows at sf<=0.1
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    for c, n in cols.items():
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+def td_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
+    out = tdigest_stats(dig, {"median_value": ("quantile", 0.5)})
+    return _round(out, {"median_value": 4})
+
+
+def td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dig = tdigest_agg(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS
+    )
+    out = tdigest_stats(
+        dig,
+        {
+            "q10": ("quantile", 0.10),
+            "q50": ("quantile", 0.50),
+            "q90": ("quantile", 0.90),
+            "q99": ("quantile", 0.99),
+        },
+    )
+    return _round(out, {c: 4 for c in ("q10", "q50", "q90", "q99")})
+
+
+def td_cdf_probe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dig = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
+    probes = ev.groupBy("event_type").agg(F.max("value").alias("__probe"))
+    out = tdigest_cdf_at(dig.join(probes, "event_type"), "__probe", out_col="cdf_at_max")
+    return _round(out.drop("__probe"), {"cdf_at_max": 6})
+
+
+def td_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
+    out = tdigest_stats(
+        dig, {"mean_value": ("mean",), "var_value": ("variance",), "std_value": ("stddev",)}
+    )
+    return _round(out, {"mean_value": 4, "var_value": 3, "std_value": 4})
+
+
+def td_trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dig = tdigest_agg(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS
+    )
+    out = tdigest_stats(dig, {"tmean_10_90": ("trimmed_mean", 0.1, 0.9)})
+    return _round(out, {"tmean_10_90": 4})
+
+
+def td_count_minmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
+    out = tdigest_stats(dig, {"n_values": ("total_weight",), "min_value": ("vmin",), "max_value": ("vmax",)})
+    return out.withColumn("n_values", F.col("n_values").cast("long"))
+
+
+def td_merge_halves_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest merge as the union/`<>` analog (Tree/Internal.hs:143-153):
+    two disjoint half-digests merged == digest of the union."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    halves = tdigest_agg(ev, "value", by=["half"], delta=LOSSLESS)
+    merged = tdigest_merge_agg(halves.drop("half"))
+    out = tdigest_stats(merged, {"median_value": ("quantile", 0.5), "n_values": ("total_weight",)})
+    return _round(out, {"median_value": 4}).withColumn(
+        "n_values", F.col("n_values").cast("long")
+    )
+
+
+def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram invariants projected to SQL-checkable facts: total bin
+    mass == count, bin range == [min, max]."""
+    from tdigest_spark.operators.digest_agg import tdigest_histogram
+
+    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
+    h = tdigest_histogram(dig)
+    return (
+        h.select(
+            "event_type",
+            F.aggregate("histogram", F.lit(0.0), lambda acc, b: acc + b["weight"])
+            .cast("long")
+            .alias("mass"),
+            F.round(F.element_at("histogram", 1)["lo"], 4).alias("lo"),
+            F.round(F.element_at("histogram", -1)["hi"], 4).alias("hi"),
+        )
+    )
+
+
+def td_p99_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compression level (delta=100) — approximate by design, so
+    rows-only check here; rank-error bound asserted in pytest."""
+    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=100)
+    return tdigest_stats(
+        dig, {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99), "n_centroids": ("size",)}
+    )
+
+
+QUERIES = {
+    "td_median_events": td_median_events,
+    "td_quantiles_lineitem": td_quantiles_lineitem,
+    "td_cdf_probe_events": td_cdf_probe_events,
+    "td_moments_events": td_moments_events,
+    "td_trimmed_mean_lineitem": td_trimmed_mean_lineitem,
+    "td_count_minmax_events": td_count_minmax_events,
+    "td_merge_halves_events": td_merge_halves_events,
+    "td_histogram_mass_events": td_histogram_mass_events,
+    "td_p99_compressed": td_p99_compressed,
+}
+
+ORACLES = {
+    "td_median_events": """
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+        FROM events GROUP BY event_type
+    """,
+    "td_quantiles_lineitem": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.10), 4) AS q10,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+               round(quantile_cont(l_extendedprice, 0.90), 4) AS q90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "td_cdf_probe_events": """
+        WITH m AS (SELECT event_type, max(value) AS x FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               round(sum(CASE WHEN e.value < m.x THEN 1.0
+                              WHEN e.value = m.x THEN 0.5 ELSE 0.0 END) / count(*), 6)
+                   AS cdf_at_max
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "td_moments_events": """
+        SELECT event_type,
+               round(avg(value), 4) AS mean_value,
+               round(var_samp(value), 3) AS var_value,
+               round(stddev_samp(value), 4) AS std_value
+        FROM events GROUP BY event_type
+    """,
+    "td_trimmed_mean_lineitem": """
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(sum(v * w) / sum(w), 4) AS tmean_10_90
+        FROM (SELECT l_returnflag, v,
+                     greatest(0, least(0.9 * n, rn) - greatest(0.1 * n, rn - 1)) AS w
+              FROM r)
+        GROUP BY l_returnflag
+    """,
+    "td_count_minmax_events": """
+        SELECT event_type, count(value) AS n_values,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "td_merge_halves_events": """
+        SELECT round(quantile_cont(value, 0.5), 4) AS median_value,
+               count(value) AS n_values
+        FROM events
+    """,
+    "td_histogram_mass_events": """
+        SELECT event_type, count(value) AS mass,
+               round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        FROM events GROUP BY event_type
+    """,
+    # td_p99_compressed: intentionally no oracle (approximate output)
+}

@@ -1,0 +1,179 @@
+"""Spark-layer tests for the t-digest UDAF: grouped/global/salted
+aggregation, stat extraction, DuckDB oracle parity in lossless mode."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.digest_agg import (
+    tdigest_agg,
+    tdigest_cdf_at,
+    tdigest_histogram,
+    tdigest_stats,
+)
+
+LOSSLESS = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_global_digest_median_matches_duckdb(spark, events, sf_dir):
+    dig = tdigest_agg(events, "value", delta=LOSSLESS)
+    out = tdigest_stats(
+        dig, {"median": ("quantile", 0.5), "p99": ("quantile", 0.99), "n": ("total_weight",)}
+    ).toPandas()
+    assert len(out) == 1
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT quantile_cont(value, 0.5), quantile_cont(value, 0.99), count(value) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert out["median"][0] == pytest.approx(exp[0], abs=1e-9)
+    assert out["p99"][0] == pytest.approx(exp[1], abs=1e-9)
+    assert out["n"][0] == exp[2]
+
+
+def test_grouped_digest_matches_duckdb(spark, events, sf_dir):
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    out = (
+        tdigest_stats(
+            dig,
+            {
+                "median": ("quantile", 0.5),
+                "mu": ("mean",),
+                "sd": ("stddev",),
+                "lo": ("vmin",),
+                "hi": ("vmax",),
+                "n": ("total_weight",),
+            },
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT event_type, quantile_cont(value,0.5), avg(value), stddev_samp(value),"
+        f" min(value), max(value), count(value) FROM '{sf_dir}/events.parquet'"
+        f" GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert list(out.index) == list(exp["event_type"])
+    np.testing.assert_allclose(out["median"], exp.iloc[:, 1], rtol=1e-12)
+    np.testing.assert_allclose(out["mu"], exp.iloc[:, 2], rtol=1e-9)
+    np.testing.assert_allclose(out["sd"], exp.iloc[:, 3], rtol=1e-6)
+    np.testing.assert_allclose(out["lo"], exp.iloc[:, 4], rtol=0)
+    np.testing.assert_allclose(out["hi"], exp.iloc[:, 5], rtol=0)
+    np.testing.assert_allclose(out["n"], exp.iloc[:, 6], rtol=0)
+
+
+def test_salted_equals_unsalted(spark, events):
+    """Two-level (salted) tree merge returns the same groups and
+    bound-level-equal quantiles as the direct merge."""
+    a = tdigest_stats(
+        tdigest_agg(events, "value", by=["event_type"], delta=100),
+        {"q": ("quantile", 0.5), "n": ("total_weight",)},
+    ).toPandas().set_index("event_type").sort_index()
+    b = tdigest_stats(
+        tdigest_agg(events, "value", by=["event_type"], delta=100, salt=4),
+        {"q": ("quantile", 0.5), "n": ("total_weight",)},
+    ).toPandas().set_index("event_type").sort_index()
+    assert list(a.index) == list(b.index)
+    np.testing.assert_allclose(a["n"], b["n"], rtol=0)  # weight conservation exact
+    np.testing.assert_allclose(a["q"], b["q"], rtol=0.05)
+
+
+def test_compressed_digest_rank_error(spark, events, sf_dir):
+    """delta=100 digest over Spark partitions stays within rank bound."""
+    dig = tdigest_agg(events.repartition(8), "value", delta=100)
+    out = tdigest_stats(
+        dig, {f"q{int(q*1000)}": ("quantile", q) for q in (0.1, 0.5, 0.9, 0.99)}
+    ).toPandas()
+    vals = np.sort(
+        duckdb.sql(f"SELECT value FROM '{sf_dir}/events.parquet'").fetchnumpy()["value"]
+    )
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = out[f"q{int(q*1000)}"][0]
+        lo = np.searchsorted(vals, est, side="left") / len(vals)
+        hi = np.searchsorted(vals, est, side="right") / len(vals)
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 0.03, (q, est, lo, hi)
+
+
+def test_cdf_at_probe_column(spark, events, sf_dir):
+    """Per-group cdf probed at that group's max -> (n-0.5*ties)/n."""
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    probes = events.groupBy("event_type").agg(F.max("value").alias("probe"))
+    joined = dig.join(probes, "event_type")
+    out = tdigest_cdf_at(joined, "probe").toPandas().set_index("event_type")
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""WITH m AS (SELECT event_type, max(value) x FROM '{sf_dir}/events.parquet' GROUP BY event_type)
+        SELECT e.event_type,
+               (sum(CASE WHEN e.value < m.x THEN 1.0 WHEN e.value = m.x THEN 0.5 ELSE 0.0 END))/count(*) c
+        FROM '{sf_dir}/events.parquet' e JOIN m USING (event_type) GROUP BY e.event_type"""
+    ).df().set_index("event_type")
+    for k in exp.index:
+        assert out.loc[k, "cdf"] == pytest.approx(exp.loc[k, "c"], abs=1e-12)
+
+
+def test_histogram_bins_chain(spark, events):
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=50)
+    out = tdigest_histogram(dig).toPandas()
+    for bins in out["histogram"]:
+        cum = 0.0
+        for b in bins:
+            assert b["cum_weight"] == pytest.approx(cum, abs=1e-6)
+            cum += b["weight"]
+            assert b["lo"] <= b["hi"]
+
+
+def test_weighted_agg(spark):
+    df = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 1.0)], "v double, w double"
+    )
+    dig = tdigest_agg(df, "v", weight_col="w", delta=LOSSLESS)
+    out = tdigest_stats(dig, {"mu": ("mean",), "n": ("total_weight",)}).toPandas()
+    assert out["n"][0] == 4.0
+    assert out["mu"][0] == pytest.approx(1.25)
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)], "k string, v double"
+    )
+    dig = tdigest_agg(df, "v", by=["k"], delta=LOSSLESS)
+    out = tdigest_stats(dig, {"n": ("total_weight",), "q": ("median",)}).toPandas()
+    res = out.set_index("k")
+    assert res.loc["a", "n"] == 2.0
+    assert res.loc["a", "q"] == 2.0
+    # group with only nulls -> empty digest, NULL stats (NonEmpty semantics
+    # replaced by nullability, cf. Tree/NonEmpty.hs:73)
+    assert res.loc["b", "n"] == 0.0
+    assert np.isnan(res.loc["b", "q"])
+
+
+def test_plan_shape_no_raw_shuffle(spark, events):
+    """The physical plan must shuffle digests, not raw rows: exactly one
+    exchange, placed after the Python partial-agg map stage."""
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    plan = dig._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, plan  # hash exchange (+AQE wrapper) only
+    # partial python map must appear below the exchange in the tree
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_scan_pruning(spark, sf_dir):
+    """Column pruning reaches the parquet scan: only key+value read."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    plan = dig._jdf.queryExecution().executedPlan().toString()
+    scan_line = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan_line, plan
+    txt = " ".join(scan_line)
+    assert "event_type" in txt and "value" in txt
+    assert "props" not in txt and "user_id" not in txt, txt
