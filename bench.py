@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline sketch-build + merge workloads at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-workload sec...}, "sf": ..., ...aux...}
+
+Aux keys: ``rows_per_sec`` per workload, and (with ``--scaling``)
+throughput at two parallelism levels + scaling efficiency — the
+sandbox stand-in for the north_rule's N vs 4N executor criterion
+(see BENCH.md).
+
+Reference baseline being matched: 0.73-0.94M values/sec single-node
+t-digest build (phadej/tdigest bench.log.txt:82-239, summarized in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _workloads():
+    """name -> (fn(spark, sf_dir) -> DataFrame, rows_table).
+
+    Each workload returns a small DataFrame; we force full execution
+    with a collect (results are O(groups), never large).
+    """
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
+    from tdigest_spark.sources.tables import load
+
+    def td_grouped_events(spark, sf_dir):
+        dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=200)
+        return tdigest_stats(dig, {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99)})
+
+    def td_global_lineitem(spark, sf_dir):
+        dig = tdigest_agg(load(spark, sf_dir, "lineitem"), "l_extendedprice", delta=200, salt=8)
+        return tdigest_stats(
+            dig, {"p50": ("quantile", 0.5), "p999": ("quantile", 0.999), "n": ("total_weight",)}
+        )
+
+    wl = {
+        "td_grouped_events": (td_grouped_events, "events"),
+        "td_global_lineitem": (td_global_lineitem, "lineitem"),
+    }
+
+    try:
+        from tdigest_spark.operators.sketch_agg import sketch_agg
+
+        def sketch_suite_documents(spark, sf_dir):
+            docs = load(spark, sf_dir, "documents")
+            return sketch_agg(
+                docs,
+                by=["lang"],
+                specs={
+                    "distinct_docs": ("hll", "text"),
+                    "src_filter": ("bloom", "source"),
+                    "len_p50": ("kll_q", "n_chars", 0.5),
+                    "src_count": ("cms_topk", "source", 5),
+                },
+            )
+
+        wl["sketch_suite_documents"] = (sketch_suite_documents, "documents")
+    except ImportError:
+        pass
+
+    try:
+        from tdigest_spark.jobs.webpages import bench_sketch_webpages
+
+        wl["webpages_sketch"] = (bench_sketch_webpages, None)
+    except ImportError:
+        pass
+
+    try:
+        from tdigest_spark.queries.dedup_q import minhash_lsh_pairs
+
+        def dedup_minhash_documents(spark, sf_dir):
+            return minhash_lsh_pairs(spark, sf_dir)
+
+        wl["dedup_minhash_documents"] = (dedup_minhash_documents, "documents")
+    except ImportError:
+        pass
+
+    return wl
+
+
+TRIALS = 3
+
+
+def _run_suite(master: str, sf_dir: str, names=None):
+    from tdigest_spark.session import get_spark
+    from tdigest_spark.sources.tables import load
+
+    spark = get_spark(
+        "bench",
+        master=master,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # sf0.1 parquet files are single-digit MB -> one scan split;
+            # force splits so the partial-build stage parallelizes the way
+            # a many-file 100 TB table would
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+        },
+    )
+    wl = _workloads()
+    if names:
+        wl = {k: v for k, v in wl.items() if k in names}
+    # warm up the JVM + the Python worker pool (numpy/pandas imports in
+    # every worker) outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+    times: dict[str, float] = {}
+    rates: dict[str, float] = {}
+    for name, (fn, table) in wl.items():
+        trials = []
+        rows = []
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.collect()
+            trials.append(time.perf_counter() - t0)
+        dt = sorted(trials)[len(trials) // 2]
+        times[name] = round(dt, 3)
+        if table is not None:
+            n = load(spark, sf_dir, table).count()
+        else:
+            n = next((r["n_docs"] for r in rows if "n_docs" in r.asDict()), 0)
+        if n:
+            rates[name] = round(n / dt, 1)
+    spark.stop()
+    return times, rates
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    scaling = "--scaling" in sys.argv
+
+    times, rates = _run_suite(f"local[{cpus}]", sf_dir)
+    out = {
+        "metric": "sketch_build_merge_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_per_sec": rates,
+    }
+
+    if scaling:
+        # north_rule two-cluster-size stand-in: same input, N vs 4N cores
+        lo_cores, hi_cores = 8, 32
+        t_lo, _ = _run_suite(f"local[{lo_cores}]", sf_dir)
+        t_hi, _ = _run_suite(f"local[{hi_cores}]", sf_dir)
+        s_lo, s_hi = sum(t_lo.values()), sum(t_hi.values())
+        # efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo)
+        eff = (s_lo / s_hi) / (hi_cores / lo_cores) if s_hi > 0 else 0.0
+        out["scaling"] = {
+            "cores_lo": lo_cores,
+            "cores_hi": hi_cores,
+            "sec_lo": round(s_lo, 3),
+            "sec_hi": round(s_hi, 3),
+            "efficiency": round(eff, 3),
+            "per_query_lo": t_lo,
+            "per_query_hi": t_hi,
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
