@@ -58,15 +58,16 @@ def _workloads():
         from tdigest_spark.operators.sketch_agg import sketch_agg
 
         def sketch_suite_documents(spark, sf_dir):
+            # one pass, four sketches (HLL + Bloom + CMS + KLL) per lang
             docs = load(spark, sf_dir, "documents")
             return sketch_agg(
                 docs,
                 by=["lang"],
                 specs={
-                    "distinct_docs": ("hll", "text"),
-                    "src_filter": ("bloom", "source"),
-                    "len_p50": ("kll_q", "n_chars", 0.5),
-                    "src_count": ("cms_topk", "source", 5),
+                    "hll_text": ("hll", "text"),
+                    "bloom_src": ("bloom", "source"),
+                    "cms_src": ("cms", "source"),
+                    "kll_len": ("kll", "n_chars", 200),
                 },
             )
 

@@ -1,0 +1,312 @@
+"""Distributed aggregation for the companion sketches (HLL / Bloom /
+count-min / KLL) — same partial/final UDAF shape as digest_agg.py:
+
+  stage 1  ``mapInPandas``  — one sketch per (input partition x group),
+           updated vectorized per Arrow batch (never per-row Python).
+           Raw rows never shuffle; only fixed-size sketch blobs do.
+  stage 2  ``groupBy(keys).applyInPandas`` — associative merge per
+           group (HLL: register max, Bloom: OR, CMS: add, KLL: level
+           concat + compact).
+
+Sketch state travels as ``BinaryType`` blobs (each core defines its own
+wire format), so one operator hosts every sketch kind and a single scan
+can build many sketches at once — the shape a 100 TB feature-sketching
+pass wants: one pass over the table, O(groups x sketches) bytes out.
+
+The reference has no companion sketches (SURVEY.md §2.8); the Monoid
+merge contract mirrors its digest ``<>`` (``Tree/Internal.hs:65-77``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tdigest_spark.sketch.bloom import BloomFilter
+from tdigest_spark.sketch.cms import CountMin
+from tdigest_spark.sketch.hll import HLL
+from tdigest_spark.sketch.kll import KLL
+
+__all__ = ["sketch_build", "sketch_estimates", "bloom_probe", "cms_probe", "sketch_agg"]
+
+
+class _Kind:
+    """Adapter: new / vectorized update / merge / (de)serialize."""
+
+    name: str
+    cast: str  # Spark-side cast for the value column
+
+    def new(self, params: tuple):
+        raise NotImplementedError
+
+    def update(self, obj, series: pd.Series):
+        vals = series.dropna()
+        if len(vals):
+            obj.add(vals.to_numpy())
+        return obj
+
+
+class _HLLKind(_Kind):
+    name, cast = "hll", "string"
+
+    def new(self, params):
+        return HLL(p=params[0] if params else 12)
+
+
+class _BloomKind(_Kind):
+    name, cast = "bloom", "string"
+
+    def new(self, params):
+        n_bits = params[0] if params else (1 << 20)
+        n_hashes = params[1] if len(params) > 1 else 7
+        return BloomFilter(n_bits=n_bits, n_hashes=n_hashes)
+
+
+class _CMSKind(_Kind):
+    name, cast = "cms", "string"
+
+    def new(self, params):
+        eps = params[0] if params else 0.001
+        delta = params[1] if len(params) > 1 else 0.01
+        return CountMin.for_error(eps=eps, delta=delta)
+
+    def update(self, obj, series):
+        vals = series.dropna()
+        if len(vals):
+            uniq, cnt = np.unique(vals.to_numpy(), return_counts=True)
+            obj.add(uniq, cnt)
+        return obj
+
+
+class _KLLKind(_Kind):
+    name, cast = "kll", "double"
+
+    def new(self, params):
+        return KLL(k=params[0] if params else 200)
+
+
+KINDS: dict[str, _Kind] = {k.name: k for k in (_HLLKind(), _BloomKind(), _CMSKind(), _KLLKind())}
+_CLS = {"hll": HLL, "bloom": BloomFilter, "cms": CountMin, "kll": KLL}
+
+
+def _norm_specs(specs: dict[str, tuple]) -> dict[str, tuple[str, str, tuple]]:
+    """out_col -> (kind, value_col, params)."""
+    out = {}
+    for name, spec in specs.items():
+        kind, col, *params = spec
+        if kind not in KINDS:
+            raise ValueError(f"unknown sketch kind {kind!r} (have {sorted(KINDS)})")
+        out[name] = (kind, col, tuple(params))
+    return out
+
+
+def sketch_build(
+    df: DataFrame, specs: dict[str, tuple], by: Sequence[str] = ()
+) -> DataFrame:
+    """Build many sketches in ONE pass: ``specs`` maps output column ->
+    ``(kind, value_col, *params)``; returns one row per group with a
+    binary blob per sketch.
+
+    Kinds / params: ``("hll", col, p=12)``, ``("bloom", col,
+    n_bits=1<<20, n_hashes=7)``, ``("cms", col, eps=0.001,
+    delta=0.01)``, ``("kll", col, k=200)``.
+    """
+    by = list(by)
+    specs = _norm_specs(specs)
+    # project + cast once, de-duplicating (value_col, cast) pairs
+    proj: dict[str, object] = {}
+    in_col: dict[str, str] = {}
+    for name, (kind, col, _p) in specs.items():
+        cast = KINDS[kind].cast
+        alias = f"__sk_{col}_{cast}"
+        proj[alias] = F.col(col).cast(cast).alias(alias)
+        in_col[name] = alias
+    src = df.select(*[F.col(c) for c in by], *proj.values())
+
+    out_schema = T.StructType(
+        [src.schema[c] for c in by]
+        + [T.StructField(name, T.BinaryType(), True) for name in specs]
+    )
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, dict[str, object]] = {}
+        for pdf in batches:
+            groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+            for key, g in groups:
+                key = key if isinstance(key, tuple) else (key,)
+                sk = accs.setdefault(key, {})
+                for name, (kind, _col, params) in specs.items():
+                    obj = sk.get(name) or KINDS[kind].new(params)
+                    sk[name] = KINDS[kind].update(obj, g[in_col[name]])
+        if not accs:
+            return
+        data: dict[str, list] = {c: [] for c in by}
+        for name in specs:
+            data[name] = []
+        for key, sk in accs.items():
+            for c, k in zip(by, key):
+                data[c].append(k)
+            for name in specs:
+                data[name].append(sk[name].to_bytes())
+        yield pd.DataFrame(data)
+
+    partials = src.mapInPandas(build_partials, out_schema)
+
+    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        for name, (kind, _col, _p) in specs.items():
+            objs = [_CLS[kind].from_bytes(bytes(b)) for b in pdf[name]]
+            acc = objs[0]
+            for o in objs[1:]:
+                acc = acc.merge(o)
+            out[name] = [acc.to_bytes()]
+        return pd.DataFrame(out)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_partials, out_schema)
+
+    def merge_global(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            yield merge_partials(pd.concat(chunks, ignore_index=True))
+
+    return partials.coalesce(1).mapInPandas(merge_global, out_schema)
+
+
+_EST_FNS = {
+    # est name -> (blob kind, fn(obj, *args) -> float, spark type)
+    "hll_estimate": ("hll", lambda o: o.estimate(), T.DoubleType()),
+    "kll_quantile": ("kll", lambda o, q: o.quantile(q), T.DoubleType()),
+    "kll_cdf": ("kll", lambda o, x: o.cdf(x), T.DoubleType()),
+    "kll_n": ("kll", lambda o: float(o.n), T.DoubleType()),
+    "cms_total": ("cms", lambda o: float(o.total), T.DoubleType()),
+    "cms_eps_bound": ("cms", lambda o: o.eps_bound(), T.DoubleType()),
+    "bloom_fpp": ("bloom", lambda o: o.expected_fpp(), T.DoubleType()),
+}
+
+
+def sketch_estimates(
+    df: DataFrame, est_specs: dict[str, tuple], drop_sketches: bool = True
+) -> DataFrame:
+    """Evaluate estimates over sketch-blob columns. ``est_specs`` maps
+    output column -> ``(est_name, sketch_col, *args)``, e.g.
+    ``{"n_distinct": ("hll_estimate", "hll_text"),
+       "p50": ("kll_quantile", "kll_len", 0.5)}``."""
+    sketch_cols = {s[1] for s in est_specs.values()}
+    keep = [c for c in df.columns if not (drop_sketches and c in sketch_cols)]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(name, _EST_FNS[s[0]][2], True) for name, s in est_specs.items()]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            cache: dict[tuple[str, int], object] = {}
+            for name, (est, col, *args) in est_specs.items():
+                kind, fn, _t = _EST_FNS[est]
+                vals = []
+                for i, b in enumerate(pdf[col]):
+                    obj = cache.get((col, i))
+                    if obj is None:
+                        obj = _CLS[kind].from_bytes(bytes(b))
+                        cache[(col, i)] = obj
+                    vals.append(fn(obj, *args))
+                out[name] = pd.array(vals, dtype="float64")
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
+
+
+def _probe(
+    probes: DataFrame,
+    sketches: DataFrame,
+    kind: str,
+    sketch_col: str,
+    key_col: str,
+    out_col: str,
+    out_type,
+    fn,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Join (broadcast — sketch table is O(groups)) sketches onto probe
+    rows, then evaluate vectorized per group within each Arrow batch."""
+    by = list(by)
+    joined = (
+        probes.join(F.broadcast(sketches.select(*by, sketch_col)), on=by)
+        if by
+        else probes.crossJoin(F.broadcast(sketches.select(sketch_col)))
+    )
+    keep = [c for c in joined.columns if c != sketch_col]
+    out_schema = T.StructType(
+        [joined.schema[c] for c in keep] + [T.StructField(out_col, out_type, True)]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            res = np.empty(len(pdf), dtype=object)
+            # one deserialization per distinct blob in the batch
+            blobs = pdf[sketch_col].map(bytes)
+            for blob, idx in blobs.groupby(blobs, sort=False).groups.items():
+                obj = _CLS[kind].from_bytes(blob)
+                res[pdf.index.get_indexer(idx)] = fn(obj, pdf.loc[idx, key_col])
+            out[out_col] = res
+            yield out
+
+    return joined.mapInPandas(evaluate, out_schema)
+
+
+def bloom_probe(
+    probes: DataFrame,
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str,
+    by: Sequence[str] = (),
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Vectorized Bloom membership of ``probes.key_col`` against the
+    (grouped) filters in ``sketches.sketch_col``."""
+    return _probe(
+        probes, sketches, "bloom", sketch_col, key_col, out_col, T.BooleanType(),
+        lambda o, s: list(o.might_contain(s.astype(str).to_numpy())), by,
+    )
+
+
+def cms_probe(
+    probes: DataFrame,
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str,
+    by: Sequence[str] = (),
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Vectorized count-min point query (est >= true count)."""
+    return _probe(
+        probes, sketches, "cms", sketch_col, key_col, out_col, T.LongType(),
+        lambda o, s: [int(x) for x in o.query(s.astype(str).to_numpy())], by,
+    )
+
+
+def sketch_agg(
+    df: DataFrame,
+    specs: dict[str, tuple],
+    by: Sequence[str] = (),
+    estimates: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Convenience: build + (optionally) estimate in one call. With no
+    ``estimates``, derives the natural scalar per sketch (hll ->
+    estimate, kll -> median, cms -> total, bloom -> expected fpp)."""
+    built = sketch_build(df, specs, by=by)
+    if estimates is None:
+        natural = {"hll": "hll_estimate", "kll": "kll_quantile", "cms": "cms_total", "bloom": "bloom_fpp"}
+        estimates = {}
+        for name, (kind, _col, *_p) in specs.items():
+            est = natural[kind]
+            estimates[f"{name}_est"] = (est, name, 0.5) if kind == "kll" else (est, name)
+    return sketch_estimates(built, estimates)

