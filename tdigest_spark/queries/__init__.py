@@ -16,6 +16,7 @@ _FAMILIES = (
     "tdigest_q",
     "relational_q",
     "sketch_q",
+    "webpages_q",
     "dedup_q",
     "text_q",
     "similarity_q",
