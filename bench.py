@@ -83,12 +83,9 @@ def _workloads():
         pass
 
     try:
-        from tdigest_spark.queries.dedup_q import minhash_lsh_pairs
+        from tdigest_spark.queries.dedup_q import dd_minhash_pairs
 
-        def dedup_minhash_documents(spark, sf_dir):
-            return minhash_lsh_pairs(spark, sf_dir)
-
-        wl["dedup_minhash_documents"] = (dedup_minhash_documents, "documents")
+        wl["dedup_minhash_documents"] = (dd_minhash_pairs, "documents")
     except ImportError:
         pass
 

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, exact n-gram Jaccard verification.
+
+Not in the reference (a sketch library) — but the same design DNA:
+fixed-size per-doc signatures built by associative/partial aggregation,
+candidate generation by bucketing, exact verification only on the tiny
+candidate set.
+
+Scale shape (the part that must survive 100 TB):
+* shingling + MinHash run entirely JVM-side (explode + 64 codegen'd
+  ``min(xxhash64(...))`` partial aggs — map-side combined, one shuffle
+  of doc_id -> 64x8 bytes, raw text never shuffles);
+* LSH banding shuffles (band_idx, band_hash) keys — bucket sizes are
+  the only quadratic risk, so buckets are capped (``max_bucket``) the
+  way production near-dup pipelines drop degenerate buckets;
+* exact Jaccard verification joins shingles ONLY for candidate pairs
+  (|candidates| << |pairs|).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "minhash_dedup_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, cols: Sequence[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup: one survivor per identical ``cols`` tuple
+    (deterministic: lowest/highest id). Hash-groupBy — shuffles on the
+    content hash, map-side combine keeps pre-shuffle rows per partition
+    bounded by distinct count."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = df.groupBy(*cols).agg(agg.alias(id_col)).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (id, s). Pure codegen
+    (split/sequence/transform/slice), no Python."""
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' '))-{k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))"
+    )
+    return df.select(F.col(id_col), F.explode(F.expr(expr)).alias("s"))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc from a shingle table, as ``n_hashes``
+    JVM-side ``min(xxhash64(seed_i, s))`` aggregates — whole-stage
+    codegen, map-side partial min, shuffle is one row of 64 longs per
+    doc."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures (r = n_hashes/bands rows per band), bucket by
+    band hash, emit candidate id pairs (a < b). Oversized buckets
+    (degenerate content) are dropped — the standard guard against
+    quadratic bucket blowup at web scale."""
+    r = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    w = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("__bsz", F.count("*").over(w)).where(
+        F.col("__bsz") <= max_bucket
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only:
+    |A ∩ B| via a shingle join restricted to candidates,
+    |A ∪ B| = |A| + |B| − |∩|."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
+    exact-Jaccard verify -> pairs with jaccard >= threshold."""
+    sh = shingles(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: explode tokens, hash,
+    per-bit ±1 majority via ``bits`` codegen'd sums (map-side combined).
+    One shuffle of doc_id -> 64 small ints; reassembled into one long.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via the
+    pigeonhole trick: split 64 bits into ``chunks`` 16-bit blocks; any
+    pair within distance <= chunks-1 shares at least one exact block ->
+    bucket-join on (block_idx, block_value), verify with bit_count(xor).
+    """
+    assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("blk"),
+                F.shiftright("simhash", c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,172 @@
+"""Deduplication query family for the driver contract.
+
+The driver's ``documents`` table has no duplicates, so every query
+first augments the corpus deterministically (pure arithmetic on
+doc_id, reproduced identically in the DuckDB oracle): exact copies of
+docs with ``doc_id % 13 = 0`` and near-duplicates (3 appended tokens)
+of docs with ``doc_id % 7 = 0``.
+
+MinHash/LSH candidate generation is hash-dependent (xxhash64), but the
+emitted pairs are *exact-Jaccard verified*, so the oracle can check
+them against an exhaustive all-pairs Jaccard in SQL — a miss by LSH
+would surface as a row-set mismatch. (At the declared thresholds the
+analytic miss probability is ~1e-5 and the pipeline is deterministic,
+so the check is stable.) SimHash has no cross-engine hash, so it gets
+a rows-only check here and property tests in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    shingles,
+    simhash_pairs,
+    simhash_signatures,
+)
+from tdigest_spark.sources.tables import load
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact_copies = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near_dups = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        "lang",
+    )
+    return docs.unionAll(exact_copies).unionAll(near_dups)
+
+
+_AUG_SQL = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text || ' extra token tail', lang
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang corpus size before/after exact dedup."""
+    corpus = _augmented(spark, sf_dir)
+    deduped = exact_dedup(corpus, ["text"], "doc_id", keep="min")
+    total = corpus.groupBy("lang").agg(F.count("*").alias("n_total"))
+    kept = deduped.groupBy("lang").agg(F.count("*").alias("n_unique"))
+    return total.join(kept, "lang")
+
+
+def dd_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc ids (deterministic: min id per identical text)."""
+    corpus = _augmented(spark, sf_dir)
+    return exact_dedup(corpus, ["text"], "doc_id", keep="min").select(
+        "doc_id", "lang"
+    )
+
+
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified at >= 0.5."""
+    corpus = _augmented(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, shingle_k=3, n_hashes=64, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def dd_ngram_jaccard_known_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the known (original, near-dup) pairs —
+    verifies the verification operator itself against SQL."""
+    corpus = _augmented(spark, sf_dir)
+    sh = shingles(corpus, "doc_id", "text", 3)
+    known = corpus.where(F.col("doc_id") % 7 == 0).where(
+        F.col("doc_id") < 100000
+    ).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    return jaccard_verify(known, sh, "doc_id").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 64) — rows-only check
+    (hash not reproducible cross-engine); properties in pytest."""
+    corpus = _augmented(spark, sf_dir)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    return simhash_pairs(sigs, "doc_id", max_hamming=3)
+
+
+QUERIES = {
+    "dd_exact_stats": dd_exact_stats,
+    "dd_exact_survivors": dd_exact_survivors,
+    "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_ngram_jaccard_known_pairs": dd_ngram_jaccard_known_pairs,
+    "dd_simhash_pairs": dd_simhash_pairs,
+}
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks)-2,1)+1)]) AS s
+    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM corpus)
+"""
+
+ORACLES = {
+    "dd_exact_stats": f"""
+        WITH corpus AS ({_AUG_SQL}),
+        kept AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text)
+        SELECT c.lang, count(*) AS n_total,
+               count(*) FILTER (WHERE c.doc_id IN (SELECT doc_id FROM kept))
+                   AS n_unique
+        FROM corpus c GROUP BY c.lang
+    """,
+    "dd_exact_survivors": f"""
+        WITH corpus AS ({_AUG_SQL})
+        SELECT doc_id, lang FROM corpus
+        WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+    """,
+    "dd_minhash_pairs": f"""
+        WITH corpus AS ({_AUG_SQL}),
+        sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.5
+    """,
+    "dd_ngram_jaccard_known_pairs": f"""
+        WITH corpus AS ({_AUG_SQL}),
+        sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        known AS (
+          SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
+          WHERE doc_id % 7 = 0
+        ),
+        inter AS (
+          SELECT k.id_a, k.id_b, count(*) AS c
+          FROM known k
+          JOIN sh a ON a.doc_id = k.id_a
+          JOIN sh b ON b.doc_id = k.id_b AND b.s = a.s
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+    """,
+    # dd_simhash_pairs: intentionally no oracle (engine-specific hash)
+}

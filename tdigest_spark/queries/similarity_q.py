@@ -1,0 +1,83 @@
+"""Similarity-search query family (embeddings table, 64-dim float
+vectors). Exact brute-force cosine is fully oracle-checked against
+DuckDB ``list_cosine_similarity``; the LSH near-dup path plants
+direction-identical duplicates (scaled copies — cosine exactly 1, so
+bucket collision probability is exactly 1 and the result set is
+deterministic) and is oracle-checked against exhaustive SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.similarity import cosine_topk, lsh_neardup_pairs
+from tdigest_spark.sources.tables import load
+
+
+def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 100th vector as a query."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias(
+            "embedding"
+        ),
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(copies)
+
+
+def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup retrieval of the planted scaled copies."""
+    corpus = _augmented(spark, sf_dir)
+    pairs = lsh_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+QUERIES = {
+    "sim_topk_exact": sim_topk_exact,
+    "sim_lsh_neardup": sim_lsh_neardup,
+}
+
+ORACLES = {
+    "sim_topk_exact": """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]) AS cos
+          FROM embeddings c
+          JOIN embeddings q ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= 5
+    """,
+    "sim_lsh_neardup": """
+        WITH corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding::DOUBLE[], x -> x * 2.0)
+          FROM embeddings WHERE vec_id % 9 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                   AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+    """,
+}

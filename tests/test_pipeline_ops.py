@@ -1,0 +1,129 @@
+"""Operator-level tests for the training-data pipeline families
+(dedup / similarity / text stats / multimodal) beyond the oracle
+parity gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    shingles,
+    simhash_pairs,
+    simhash_signatures,
+)
+from tdigest_spark.operators.multimodal import decode_features, resize_media, synth_media
+from tdigest_spark.operators.similarity import cosine_topk, lsh_neardup_pairs
+from tdigest_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "text", "lang").cache()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, docs):
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail token add")).alias("text"),
+        "lang",
+    )
+    exact = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionAll(near).unionAll(exact).cache()
+
+
+def test_exact_dedup_removes_only_copies(spark, docs, corpus):
+    n_orig = docs.count()
+    n_copies = corpus.where(F.col("doc_id") >= 20_000).count()
+    deduped = exact_dedup(corpus, ["text"], "doc_id")
+    assert deduped.count() == corpus.count() - n_copies
+    # survivors are the min ids: no surviving id >= 20000
+    assert deduped.where(F.col("doc_id") >= 20_000).count() == 0
+    assert n_orig > 0
+
+
+def test_minhash_finds_all_planted_pairs(spark, corpus):
+    pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted_near = {
+        (r["doc_id"], r["doc_id"] + 10_000)
+        for r in corpus.where(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 10_000)
+        ).collect()
+    }
+    planted_exact = {
+        (r["doc_id"], r["doc_id"] + 20_000)
+        for r in corpus.where(
+            (F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 10_000)
+        ).collect()
+    }
+    assert planted_near <= got
+    assert planted_exact <= got
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_identical_text_zero_hamming(spark, corpus):
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    pairs = simhash_pairs(sigs, "doc_id", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    exact_pairs = [
+        (r["doc_id"], r["doc_id"] + 20_000)
+        for r in corpus.where(
+            (F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 10_000)
+        ).collect()
+    ]
+    for p in exact_pairs:
+        assert got.get(p) == 0  # identical text -> identical simhash
+
+
+def test_shingles_count(spark, docs):
+    row = docs.select("doc_id", "text").first()
+    n_tok = len(row["text"].split(" "))
+    n_sh = shingles(docs.where(F.col("doc_id") == row["doc_id"]), "doc_id", "text", 3).count()
+    assert n_sh <= max(n_tok - 2, 1)  # distinct <= positions
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant an exact duplicate of vec 0 and check it ranks first
+    dup = emb.where(F.col("vec_id") == 0).select(
+        F.lit(999_999).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(dup)
+    queries = emb.where(F.col("vec_id") == 0)
+    top = cosine_topk(corpus, queries, "vec_id", "embedding", k=3).collect()
+    assert top[0]["vec_id"] == 999_999
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_neardup_finds_scaled_copies(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 5_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    pairs = lsh_neardup_pairs(emb.unionAll(copies), "vec_id", "embedding", 0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 5_000)
+        for r in emb.where(F.col("vec_id") % 11 == 0).collect()
+    }
+    assert planted <= got  # same direction -> same bucket, recall 1
+
+
+def test_multimodal_roundtrip(spark):
+    media = synth_media(spark, 200)
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    feats = decode_features(media).collect()
+    for r in feats:
+        assert r["n_bytes"] == r["meta"]["width"] * r["meta"]["height"]
+        assert 97 <= r["min_byte"] <= r["max_byte"] <= 112  # 'a'..'p'
+    small = resize_media(media.where(F.col("kind") == "image"), scale=2).collect()
+    for r in small:
+        assert r["meta"]["width"] * r["meta"]["height"] == len(bytes(r["payload"]))
