@@ -139,7 +139,7 @@ def tdigest_agg(
     if by:
         return partials.groupBy(*by).applyInPandas(merge_partials, out_schema)
     # global sketch: single final reduce over (salted-or-not) partials
-    return partials.coalesce(1).mapInPandas(
+    return partials.repartition(1).mapInPandas(
         lambda it: iter(
             [
                 pd.DataFrame(
@@ -195,7 +195,7 @@ def tdigest_merge_agg(
 
     if by:
         return partials.groupBy(*by).applyInPandas(final, out_schema)
-    return partials.coalesce(1).mapInPandas(
+    return partials.repartition(1).mapInPandas(
         lambda it: iter(
             [
                 pd.DataFrame(

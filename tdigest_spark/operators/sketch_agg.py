@@ -175,7 +175,7 @@ def sketch_build(
         if chunks:
             yield merge_partials(pd.concat(chunks, ignore_index=True))
 
-    return partials.coalesce(1).mapInPandas(merge_global, out_schema)
+    return partials.repartition(1).mapInPandas(merge_global, out_schema)
 
 
 _EST_FNS = {

@@ -1,0 +1,151 @@
+"""Streaming t-digest — the reference's on-line accumulator
+("on-line accumulation", tdigest.cabal:4; ``insert`` =
+``Tree/Internal.hs:452-457``) re-expressed in Structured Streaming.
+
+Two shapes:
+
+* :func:`stateful_digest_stream` — ``applyInPandasWithState``: one
+  t-digest per group key held in stream state, updated vectorized per
+  micro-batch (the digest IS the state — O(delta) bytes per key, so
+  state store size is bounded regardless of stream length). Emits
+  updated rank stats per key per batch.
+
+* :func:`digest_sink` — ``foreachBatch`` merging each micro-batch's
+  partial digests into a checkpoint parquet table via the same
+  associative merge as the batch path (streaming query == incremental
+  batch job; exactly-once per micro-batch when the sink dir is
+  idempotently overwritten by key).
+
+Late data: both shapes compose with ``withWatermark`` upstream —
+rows later than the watermark are dropped by Spark before they reach
+the digest update (SQL-aggregate semantics; the digest itself is
+order-insensitive within bound so no special handling is needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tdigest_spark.sketch.tdigest import TDigest
+
+__all__ = ["stateful_digest_stream", "digest_sink"]
+
+# state = flattened digest (arrays + scalars); GroupState rows are
+# plain tuples in schema field order
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+        T.StructField("total_weight", T.DoubleType()),
+        T.StructField("vmin", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+        T.StructField("delta", T.IntegerType()),
+    ]
+)
+
+
+def stateful_digest_stream(
+    stream: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    delta: int = 200,
+    quantiles: Sequence[float] = (0.5, 0.99),
+) -> DataFrame:
+    """Per-key continuously-updated digest over an unbounded stream.
+
+    Output (update mode) per key per micro-batch:
+    (by..., n_values, q_50, q_99, ... one col per requested quantile).
+    """
+    by = list(by)
+    out_schema = T.StructType(
+        [stream.schema[c] for c in by]
+        + [T.StructField("n_values", T.LongType())]
+        + [
+            T.StructField(f"q_{str(q).replace('.', '_')}", T.DoubleType())
+            for q in quantiles
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            means, weights, tw, vmin, vmax, d0 = state.get
+            dig = TDigest.from_row(
+                {
+                    "means": list(means),
+                    "weights": list(weights),
+                    "total_weight": tw,
+                    "vmin": vmin,
+                    "vmax": vmax,
+                    "delta": d0,
+                }
+            )
+        else:
+            dig = TDigest.empty(delta)
+        for pdf in pdfs:
+            dig = dig.add_values(pdf[value_col].to_numpy())
+        dig = dig.compressed()
+        state.update(
+            (
+                dig.means.tolist(),
+                dig.weights.tolist(),
+                float(dig.total_weight),
+                float(dig.vmin),
+                float(dig.vmax),
+                int(dig.delta),
+            )
+        )
+        row = {c: [k] for c, k in zip(by, key)}
+        row["n_values"] = [int(dig.total_weight)]
+        for q in quantiles:
+            row[f"q_{str(q).replace('.', '_')}"] = [dig.quantile(q)]
+        yield pd.DataFrame(row)
+
+    return stream.groupBy(*by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def digest_sink(
+    stream: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    table_dir: str,
+    checkpoint_dir: str,
+    delta: int = 200,
+):
+    """foreachBatch sink: merge each micro-batch into a digest parquet
+    table (read-merge-overwrite per batch; batch ids make the merge
+    idempotent on restart). Returns the StreamingQuery."""
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_merge_agg
+
+    by = list(by)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
+        try:
+            old = spark.read.parquet(table_dir)
+            merged = tdigest_merge_agg(old.unionByName(new), by=by)
+        except Exception:  # first batch: no table yet
+            merged = new
+        merged.write.mode("overwrite").parquet(f"{table_dir}.tmp")
+        spark.read.parquet(f"{table_dir}.tmp").write.mode("overwrite").parquet(table_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

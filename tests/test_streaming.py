@@ -1,0 +1,95 @@
+"""Structured Streaming digest tests: file-source micro-batches with
+availableNow trigger, stateful per-key digests, foreachBatch sink.
+Streaming result must equal the batch digest over the same data
+(exactly, in lossless mode)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
+from tdigest_spark.sources.tables import load
+
+LOSSLESS = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 3 parquet chunk files (the micro-batches)."""
+    d = tmp_path_factory.mktemp("stream_src")
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    for i, chunk in enumerate(np.array_split(pdf.index.to_numpy(), 3)):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.parquet(
+            str(d / f"chunk={i}")
+        )
+    return d
+
+
+def test_stateful_digest_stream_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    from tdigest_spark.streaming.digest_stream import stateful_digest_stream
+
+    schema = "event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/chunk=*")
+    )
+    out = stateful_digest_stream(
+        stream, "value", ["event_type"], delta=LOSSLESS, quantiles=(0.5,)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("digests")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql(
+        """SELECT event_type, n_values, q_0_5 FROM digests
+           WHERE (event_type, n_values) IN
+             (SELECT event_type, max(n_values) FROM digests GROUP BY event_type)"""
+    ).collect()
+    got = {r["event_type"]: r for r in res}
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    batch = tdigest_stats(
+        tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS),
+        {"q_0_5": ("quantile", 0.5), "n": ("total_weight",)},
+    ).collect()
+    for r in batch:
+        g = got[r["event_type"]]
+        assert g["n_values"] == int(r["n"])
+        # streaming builds incrementally (3 merges); lossless both ways
+        assert g["q_0_5"] == pytest.approx(r["q_0_5"], abs=1e-9)
+
+
+def test_digest_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
+    from tdigest_spark.streaming.digest_stream import digest_sink
+
+    schema = "event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/chunk=*")
+    )
+    table = str(tmp_path / "digest_table")
+    q = digest_sink(
+        stream, "value", ["event_type"], table, str(tmp_path / "ck2"), delta=LOSSLESS
+    )
+    q.awaitTermination(300)
+
+    final = tdigest_stats(
+        spark.read.parquet(table), {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+    ).collect()
+    got = {r["event_type"]: r for r in final}
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    batch = tdigest_stats(
+        tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS),
+        {"p50": ("quantile", 0.5), "n": ("total_weight",)},
+    ).collect()
+    for r in batch:
+        assert got[r["event_type"]]["n"] == r["n"]
+        assert got[r["event_type"]]["p50"] == pytest.approx(r["p50"], abs=1e-9)
