@@ -157,8 +157,17 @@ def minhash_dedup_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
-    exact-Jaccard verify -> pairs with jaccard >= threshold."""
-    sh = shingles(df, id_col, text_col, shingle_k)
+    exact-Jaccard verify -> pairs with jaccard >= threshold.
+
+    The shingle table feeds two consumers (signatures and the verify
+    join), so it is persisted — at warehouse scale this is the
+    materialize-the-shingle-table step every production near-dup
+    pipeline has (spill-to-disk storage level, safe at any size)."""
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
