@@ -331,3 +331,40 @@ def tdigest_histogram(
             yield out
 
     return df.mapInPandas(evaluate, out_schema)
+
+
+def tdigest_rollup(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    delta: int = 200,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """SQL ``GROUP BY ROLLUP(dims...)`` over digests WITHOUT rescanning:
+    build the finest-grain digests once, then derive every coarser
+    level by merging digests upward (digest merge is associative, so
+    rollup levels are exact aggregations of the leaf level — the whole
+    point of a mergeable sketch at 100 TB: one scan, all levels).
+
+    Output matches SQL ROLLUP shape: coarser levels carry NULL in the
+    rolled-up dimension columns, plus a grand-total row.
+    """
+    dims = list(dims)
+    leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
+    # leaf digests are tiny (O(groups * delta)); reuse for every level
+    leaf = leaf.persist()
+    levels = [leaf]
+    cur = leaf
+    for i in range(len(dims) - 1, -1, -1):
+        keep = dims[:i]
+        cur = tdigest_merge_agg(
+            cur.select(*keep, digest_col), by=keep, digest_col=digest_col
+        )
+        lvl = cur
+        for d in dims[i:]:
+            lvl = lvl.withColumn(d, F.lit(None).cast(leaf.schema[d].dataType))
+        levels.append(lvl.select(*dims, digest_col))
+    out = levels[0].select(*dims, digest_col)
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -128,6 +128,46 @@ def td_p99_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) medians derived by digest
+    merge from the leaf level — one scan, all levels (exact when
+    lossless, matching SQL ROLLUP + quantile_cont)."""
+    from tdigest_spark.operators.digest_agg import tdigest_rollup
+
+    li = load(spark, sf_dir, "lineitem")
+    rolled = tdigest_rollup(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=LOSSLESS
+    )
+    out = tdigest_stats(rolled, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+
+
+def td_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed digests: per (event_type, day) quantiles —
+    the time-bucketed rollup shape of a metrics pipeline."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    dig = tdigest_agg(ev, "value", by=["event_type", "day"], delta=LOSSLESS)
+    out = tdigest_stats(dig, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+
+
+def td_weighted_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted digest (weight = l_quantity): weighted mean + total
+    weight are exact under merging (weighted-mean identity)."""
+    li = load(spark, sf_dir, "lineitem")
+    dig = tdigest_agg(
+        li, "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS,
+        weight_col="l_quantity",
+    )
+    out = tdigest_stats(dig, {"wmean": ("mean",), "wtotal": ("total_weight",)})
+    return _round(out, {"wmean": 4}).withColumn(
+        "wtotal", F.col("wtotal").cast("long")
+    )
+
+
 QUERIES = {
     "td_median_events": td_median_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
@@ -138,6 +178,9 @@ QUERIES = {
     "td_merge_halves_events": td_merge_halves_events,
     "td_histogram_mass_events": td_histogram_mass_events,
     "td_p99_compressed": td_p99_compressed,
+    "td_rollup_lineitem": td_rollup_lineitem,
+    "td_windowed_events": td_windowed_events,
+    "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
 }
 
 ORACLES = {
@@ -197,6 +240,26 @@ ORACLES = {
         SELECT event_type, count(value) AS mass,
                round(min(value), 4) AS lo, round(max(value), 4) AS hi
         FROM events GROUP BY event_type
+    """,
+    "td_rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               count(l_extendedprice) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "td_windowed_events": """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               count(value) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "td_weighted_mean_lineitem": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                   AS wmean,
+               sum(l_quantity)::BIGINT AS wtotal
+        FROM lineitem GROUP BY l_returnflag
     """,
     # td_p99_compressed: intentionally no oracle (approximate output)
 }
