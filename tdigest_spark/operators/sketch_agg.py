@@ -44,7 +44,11 @@ class _Kind:
     def new(self, params: tuple):
         raise NotImplementedError
 
-    def update(self, obj, series: pd.Series):
+    def aux_cols(self, params: tuple) -> list[tuple[str, str]]:
+        """Extra (column, cast) inputs beyond the value column."""
+        return []
+
+    def update(self, obj, series: pd.Series, *aux: pd.Series):
         vals = series.dropna()
         if len(vals):
             obj.add(vals.to_numpy())
@@ -90,8 +94,31 @@ class _KLLKind(_Kind):
         return KLL(k=params[0] if params else 200)
 
 
-KINDS: dict[str, _Kind] = {k.name: k for k in (_HLLKind(), _BloomKind(), _CMSKind(), _KLLKind())}
-_CLS = {"hll": HLL, "bloom": BloomFilter, "cms": CountMin, "kll": KLL}
+class _KLLWeightedKind(_Kind):
+    """Weighted KLL (KLL± direction, PAPERS.md): spec is
+    ``("kll_w", value_col, weight_col, k)`` — integer weights decomposed
+    over the level ladder (see ``KLL.add_weighted``)."""
+
+    name, cast = "kll_w", "double"
+
+    def new(self, params):
+        return KLL(k=params[1] if len(params) > 1 else 200)
+
+    def aux_cols(self, params):
+        return [(params[0], "double")]
+
+    def update(self, obj, series, wseries):
+        mask = series.notna() & wseries.notna()
+        if mask.any():
+            obj.add_weighted(series[mask].to_numpy(), wseries[mask].to_numpy())
+        return obj
+
+
+KINDS: dict[str, _Kind] = {
+    k.name: k
+    for k in (_HLLKind(), _BloomKind(), _CMSKind(), _KLLKind(), _KLLWeightedKind())
+}
+_CLS = {"hll": HLL, "bloom": BloomFilter, "cms": CountMin, "kll": KLL, "kll_w": KLL}
 
 
 def _norm_specs(specs: dict[str, tuple]) -> dict[str, tuple[str, str, tuple]]:
@@ -120,12 +147,17 @@ def sketch_build(
     specs = _norm_specs(specs)
     # project + cast once, de-duplicating (value_col, cast) pairs
     proj: dict[str, object] = {}
-    in_col: dict[str, str] = {}
-    for name, (kind, col, _p) in specs.items():
-        cast = KINDS[kind].cast
-        alias = f"__sk_{col}_{cast}"
-        proj[alias] = F.col(col).cast(cast).alias(alias)
-        in_col[name] = alias
+    in_col: dict[str, tuple[str, list[str]]] = {}
+
+    def _alias(col: str, cast: str) -> str:
+        a = f"__sk_{col}_{cast}"
+        proj[a] = F.col(col).cast(cast).alias(a)
+        return a
+
+    for name, (kind, col, params) in specs.items():
+        val = _alias(col, KINDS[kind].cast)
+        aux = [_alias(c, cast) for c, cast in KINDS[kind].aux_cols(params)]
+        in_col[name] = (val, aux)
     src = df.select(*[F.col(c) for c in by], *proj.values())
 
     out_schema = T.StructType(
@@ -142,7 +174,8 @@ def sketch_build(
                 sk = accs.setdefault(key, {})
                 for name, (kind, _col, params) in specs.items():
                     obj = sk.get(name) or KINDS[kind].new(params)
-                    sk[name] = KINDS[kind].update(obj, g[in_col[name]])
+                    val, aux = in_col[name]
+                    sk[name] = KINDS[kind].update(obj, g[val], *(g[a] for a in aux))
         if not accs:
             return
         data: dict[str, list] = {c: [] for c in by}
@@ -304,9 +337,14 @@ def sketch_agg(
     estimate, kll -> median, cms -> total, bloom -> expected fpp)."""
     built = sketch_build(df, specs, by=by)
     if estimates is None:
-        natural = {"hll": "hll_estimate", "kll": "kll_quantile", "cms": "cms_total", "bloom": "bloom_fpp"}
+        natural = {
+            "hll": "hll_estimate", "kll": "kll_quantile", "kll_w": "kll_quantile",
+            "cms": "cms_total", "bloom": "bloom_fpp",
+        }
         estimates = {}
         for name, (kind, _col, *_p) in specs.items():
             est = natural[kind]
-            estimates[f"{name}_est"] = (est, name, 0.5) if kind == "kll" else (est, name)
+            estimates[f"{name}_est"] = (
+                (est, name, 0.5) if kind in ("kll", "kll_w") else (est, name)
+            )
     return sketch_estimates(built, estimates)

@@ -104,6 +104,49 @@ def sk_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WKLL_PROBES = (10000.0, 30000.0, 60000.0)
+
+
+def sk_kll_weighted_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted KLL (KLL± direction): l_extendedprice weighted by
+    l_quantity (integer 1..50), cdf probed at fixed prices. Exact
+    weighted cdf is integer-arithmetic-deterministic (sums of integer
+    weights cast to long), so it value-hash-matches DuckDB; the sketch
+    estimate is asserted within rank-error bound as a boolean."""
+    li = load(spark, sf_dir, "lineitem")
+    built = sketch_build(
+        li, {"k": ("kll_w", "l_extendedprice", "l_quantity", 500)}, by=["l_returnflag"]
+    )
+    est = sketch_estimates(
+        built,
+        {f"est_cdf_{i}": ("kll_cdf", "k", x) for i, x in enumerate(_WKLL_PROBES)},
+    )
+    wq = F.col("l_quantity")
+    exact = li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                (
+                    2 * F.sum(F.when(F.col("l_extendedprice") < x, wq).otherwise(0.0)).cast("long")
+                    + F.sum(F.when(F.col("l_extendedprice") == x, wq).otherwise(0.0)).cast("long")
+                ).cast("double")
+                / (2 * F.sum(wq).cast("long")).cast("double"),
+                4,
+            ).alias(f"exact_cdf_{i}")
+            for i, x in enumerate(_WKLL_PROBES)
+        ]
+    )
+    out = est.join(exact, "l_returnflag")
+    cols = [F.col("l_returnflag")]
+    for i in range(len(_WKLL_PROBES)):
+        cols.append(F.col(f"exact_cdf_{i}"))
+        cols.append(
+            (F.abs(F.col(f"est_cdf_{i}") - F.col(f"exact_cdf_{i}")) < 0.015).alias(
+                f"cdf_{i}_ok"
+            )
+        )
+    return out.select(*cols)
+
+
 def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     built = sketch_build(ev, {"h": ("hll", "user_id", _HLL_P)})
@@ -119,6 +162,7 @@ QUERIES = {
     "sk_hll_distinct_docs": sk_hll_distinct_docs,
     "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
     "sk_bloom_membership_docs": sk_bloom_membership_docs,
+    "sk_kll_weighted_cdf_lineitem": sk_kll_weighted_cdf_lineitem,
     "sk_cms_source_counts": sk_cms_source_counts,
     "sk_hll_global_events": sk_hll_global_events,
 }
@@ -139,6 +183,28 @@ ORACLES = {
         SELECT lang, count(DISTINCT source) AS n_present,
                true AS no_false_neg, true AS fpp_ok
         FROM documents GROUP BY lang
+    """,
+    "sk_kll_weighted_cdf_lineitem": """
+        SELECT l_returnflag,
+               round((2 * sum(CASE WHEN l_extendedprice < 10000.0
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = 10000.0
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 4) AS exact_cdf_0,
+               true AS cdf_0_ok,
+               round((2 * sum(CASE WHEN l_extendedprice < 30000.0
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = 30000.0
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 4) AS exact_cdf_1,
+               true AS cdf_1_ok,
+               round((2 * sum(CASE WHEN l_extendedprice < 60000.0
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = 60000.0
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 4) AS exact_cdf_2,
+               true AS cdf_2_ok
+        FROM lineitem GROUP BY l_returnflag
     """,
     "sk_cms_source_counts": """
         SELECT lang, source, count(*) AS exact_count, true AS cms_ok

@@ -82,6 +82,35 @@ class KLL:
         self._compress()
         return self
 
+    def add_weighted(self, values, weights) -> "KLL":
+        """Weighted batch insert (the KLL± direction, PAPERS.md): an
+        item of integer weight w is decomposed over its binary digits —
+        one copy at every level h whose bit is set in w, since level-h
+        items carry weight 2^h. Weight-exact (no rounding), vectorized
+        per bit, and compaction/merge are unchanged.
+
+        Weights must be positive integers (rows with weight < 1 or NaN
+        are dropped, SQL aggregate semantics).
+        """
+        v = np.asarray(values, dtype=np.float64).ravel()
+        w = np.asarray(weights, dtype=np.float64).ravel()
+        ok = ~np.isnan(v) & ~np.isnan(w) & (w >= 1)
+        v, w = v[ok], w[ok].astype(np.int64)
+        if v.size == 0:
+            return self
+        for h in range(int(w.max()).bit_length()):
+            sel = v[(w >> h) & 1 == 1]
+            if sel.size == 0:
+                continue
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], sel])
+        self.n += int(w.sum())
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress()
+        return self
+
     def merge(self, other: "KLL") -> "KLL":
         if self.k != other.k:
             raise ValueError(f"KLL k mismatch ({self.k} vs {other.k})")

@@ -127,3 +127,44 @@ def test_multimodal_roundtrip(spark):
     small = resize_media(media.where(F.col("kind") == "image"), scale=2).collect()
     for r in small:
         assert r["meta"]["width"] * r["meta"]["height"] == len(bytes(r["payload"]))
+
+
+def test_ivf_pruned_recall(spark, sf_dir):
+    """IVF with nprobe < nlist must keep high top-k recall vs exact
+    brute force, while scoring a fraction of the candidate pairs."""
+    from tdigest_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=4
+    ).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_exhaustive_equals_exact(spark, sf_dir):
+    from tdigest_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=8)
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in approx.collect()}
+    assert a == b
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from tdigest_spark.operators.similarity import train_ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    import numpy as np
+
+    c1 = train_ivf_centroids(emb, "embedding", nlist=8, seed=7)
+    c2 = train_ivf_centroids(emb, "embedding", nlist=8, seed=7)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

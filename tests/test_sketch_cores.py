@@ -193,3 +193,52 @@ def test_kll_cdf_matches_exact_when_lossless():
     for x in (10.0, 50.0, 90.0):
         exact = (np.sum(vals < x) + 0.5 * np.sum(vals == x)) / len(vals)
         assert k.cdf(x) == pytest.approx(exact, abs=1.0 / len(vals))
+
+
+# ------------------------------------------------------- weighted KLL
+def test_kll_weighted_conserves_weight_and_bounds():
+    v = RNG.uniform(0, 1000, 5000)
+    w = RNG.integers(1, 50, 5000)
+    k = KLL(k=10_000_000).add_weighted(v, w)  # lossless
+    _, iw = k._items()
+    assert float(iw.sum()) == float(w.sum())  # binary decomposition exact
+    assert k.n == int(w.sum())
+    assert (k.vmin, k.vmax) == (v.min(), v.max())
+    # cdf exact at retained sample values (mid-rank convention)
+    for x in v[:20]:
+        exact = (w[v < x].sum() + 0.5 * w[v == x].sum()) / w.sum()
+        assert k.cdf(float(x)) == pytest.approx(exact, abs=1e-12)
+
+
+def test_kll_weighted_rank_error_compacted():
+    v = RNG.exponential(100.0, 50_000)
+    w = RNG.integers(1, 20, 50_000)
+    k = KLL(k=400).add_weighted(v, w)
+    assert k.size() < 6_000  # genuinely compacted
+    order = np.argsort(v)
+    cum = np.cumsum(w[order]) / w.sum()
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = k.quantile(q)
+        true_rank = cum[np.searchsorted(v[order], est, side="right") - 1]
+        assert abs(true_rank - q) < 0.02
+
+
+def test_kll_weighted_merge_and_mixed():
+    v = RNG.normal(0, 1, 20_000)
+    w = RNG.integers(1, 8, 20_000)
+    a = KLL(k=256).add_weighted(v[:10_000], w[:10_000])
+    b = KLL(k=256).add(v[10_000:])  # unweighted half (weight 1 each)
+    m = a.merge(b)
+    assert m.n == int(w[:10_000].sum()) + 10_000
+    wa = np.concatenate([w[:10_000], np.ones(10_000, dtype=np.int64)])
+    order = np.argsort(v)
+    cum = np.cumsum(wa[order]) / wa.sum()
+    for q in (0.25, 0.5, 0.75):
+        est = m.quantile(q)
+        true_rank = cum[np.searchsorted(v[order], est, side="right") - 1]
+        assert abs(true_rank - q) < 0.02
+
+
+def test_kll_weighted_drops_invalid():
+    k = KLL(k=100).add_weighted([1.0, 2.0, np.nan, 3.0], [2, 0, 5, np.nan])
+    assert k.n == 2  # only (1.0, w=2) survives
