@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from tdigest_spark.sketch.tdigest import TDigest
 
-__all__ = ["stateful_digest_stream", "digest_sink"]
+__all__ = ["stateful_digest_stream", "windowed_digest_stream", "digest_sink"]
 
 # state = flattened digest (arrays + scalars); GroupState rows are
 # plain tuples in schema field order
@@ -114,6 +114,120 @@ def stateful_digest_stream(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_digest_stream(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: Sequence[str] = (),
+    window_duration: str = "7 days",
+    watermark: str = "1 day",
+    delta: int = 200,
+    quantiles: Sequence[float] = (0.5, 0.99),
+) -> DataFrame:
+    """Event-time tumbling-window digests with watermark-driven state
+    eviction — the windowed/late-data shape SURVEY.md §8 lists as a
+    round-1 gap.
+
+    One digest per (window, key) lives in stream state; rows later than
+    the watermark are dropped by Spark before the update. Each window's
+    state carries an event-time timeout at ``window_end`` — once the
+    watermark passes it, the window fires one last row with
+    ``final=true`` and its state is EVICTED, so state-store size is
+    O(active windows x keys x delta) regardless of stream length (the
+    property that matters for an unbounded 100 TB/day ingest).
+
+    Output per (window, key) per batch: (window_start, window_end,
+    by..., n_values, q_*..., final).
+    """
+    by = list(by)
+    src = stream.withWatermark(ts_col, watermark)
+    # the window struct carries the watermark tag — it must survive to
+    # the stateful operator as the grouping column (extracting
+    # start/end here would strip the tag and break event-time timeout)
+    keyed = src.select(
+        F.window(ts_col, window_duration).alias("__w"),
+        *by,
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+        ]
+        + [stream.schema[c] for c in by]
+        + [T.StructField("n_values", T.LongType())]
+        + [
+            T.StructField(f"q_{str(q).replace('.', '_')}", T.DoubleType())
+            for q in quantiles
+        ]
+        + [T.StructField("final", T.BooleanType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        w = key[0]
+        ws, we = w["start"], w["end"]
+        group = key[1:]
+
+        def emit(dig: TDigest, final: bool) -> pd.DataFrame:
+            row = {"window_start": [ws], "window_end": [we]}
+            for c, k in zip(by, group):
+                row[c] = [k]
+            row["n_values"] = [int(dig.total_weight)]
+            for q in quantiles:
+                row[f"q_{str(q).replace('.', '_')}"] = [dig.quantile(q)]
+            row["final"] = [final]
+            return pd.DataFrame(row)
+
+        if state.hasTimedOut:
+            # watermark passed window end: fire final result, evict
+            means, weights, tw, vmin, vmax, d0 = state.get
+            dig = TDigest.from_row(
+                {
+                    "means": list(means), "weights": list(weights),
+                    "total_weight": tw, "vmin": vmin, "vmax": vmax, "delta": d0,
+                }
+            )
+            state.remove()
+            yield emit(dig, final=True)
+            return
+        if state.exists:
+            means, weights, tw, vmin, vmax, d0 = state.get
+            dig = TDigest.from_row(
+                {
+                    "means": list(means), "weights": list(weights),
+                    "total_weight": tw, "vmin": vmin, "vmax": vmax, "delta": d0,
+                }
+            )
+        else:
+            dig = TDigest.empty(delta)
+        for pdf in pdfs:
+            dig = dig.add_values(pdf[value_col].to_numpy())
+        dig = dig.compressed()
+        state.update(
+            (
+                dig.means.tolist(), dig.weights.tolist(),
+                float(dig.total_weight), float(dig.vmin), float(dig.vmax),
+                int(dig.delta),
+            )
+        )
+        # evict when the watermark passes the end of this window; key
+        # timestamps are naive UTC wall time (session tz is UTC), and
+        # the timeout must lie strictly past the current watermark
+        we_ms = int(pd.Timestamp(we).tz_localize("UTC").timestamp() * 1000)
+        state.setTimeoutTimestamp(max(we_ms, state.getCurrentWatermarkMs() + 1))
+        yield emit(dig, final=False)
+
+    return keyed.groupBy("__w", *by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -93,3 +93,81 @@ def test_digest_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
     for r in batch:
         assert got[r["event_type"]]["n"] == r["n"]
         assert got[r["event_type"]]["p50"] == pytest.approx(r["p50"], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def timed_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 3 TIME-ORDERED chunks so the watermark
+    advances across micro-batches (chunk i covers ~10 days each)."""
+    d = tmp_path_factory.mktemp("timed_src")
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    pdf = ev.toPandas().sort_values("ts", ignore_index=True)
+    for i, chunk in enumerate(np.array_split(pdf.index.to_numpy(), 3)):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.parquet(
+            str(d / f"chunk={i}")
+        )
+    return d
+
+
+def test_windowed_digest_stream_with_eviction(spark, sf_dir, timed_stream_dir, tmp_path):
+    """Windowed digests must match the batch groupBy(window) result and
+    early windows must fire final=true (state evicted) once the
+    watermark passes their end."""
+    from tdigest_spark.streaming.digest_stream import windowed_digest_stream
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{timed_stream_dir}/chunk=*")
+    )
+    out = windowed_digest_stream(
+        stream, "value", "ts", by=["event_type"],
+        window_duration="7 days", watermark="1 day",
+        delta=LOSSLESS, quantiles=(0.5,),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_digests")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT * FROM win_digests").toPandas()
+    assert len(res) > 0
+
+    # final (evicted) windows exist: watermark moved ~20 days past the
+    # first 7-day window's end across the 3 chunks
+    finals = res[res["final"]]
+    assert len(finals) > 0, "no window was evicted by the watermark"
+
+    # last emission per (window, key) must equal the batch result
+    last = (
+        res.sort_values("n_values")
+        .groupby(["window_start", "event_type"], as_index=False)
+        .last()
+    )
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    batch = (
+        tdigest_stats(
+            tdigest_agg(
+                ev.withColumn("__w", F.window("ts", "7 days"))
+                .select(F.col("__w")["start"].alias("window_start"), "event_type", "value"),
+                "value",
+                by=["window_start", "event_type"],
+                delta=LOSSLESS,
+            ),
+            {"q_0_5": ("quantile", 0.5), "n": ("total_weight",)},
+        )
+    ).toPandas()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_values"], r["q_0_5"])
+        for _, r in last.iterrows()
+    }
+    assert len(batch) == len(got)
+    for _, r in batch.iterrows():
+        n, q50 = got[(r["window_start"], r["event_type"])]
+        assert n == int(r["n"])
+        assert q50 == pytest.approx(r["q_0_5"], abs=1e-9)
