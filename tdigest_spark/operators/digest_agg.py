@@ -333,6 +333,41 @@ def tdigest_histogram(
     return df.mapInPandas(evaluate, out_schema)
 
 
+def tdigest_cube(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    delta: int = 200,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """SQL ``GROUP BY CUBE(dims...)`` over digests without rescanning:
+    finest-grain digests are built once, then every one of the 2^d
+    dimension subsets is derived by associative digest merge (same
+    one-scan-all-levels property as :func:`tdigest_rollup`, but over
+    the full subset lattice). NULL marks a rolled-up dimension, as in
+    SQL CUBE output."""
+    dims = list(dims)
+    leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
+    leaf = leaf.persist()
+    levels = []
+    for mask in range(1 << len(dims)):
+        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        if len(keep) == len(dims):
+            lvl = leaf
+        else:
+            lvl = tdigest_merge_agg(
+                leaf.select(*keep, digest_col), by=keep, digest_col=digest_col
+            )
+        for d in dims:
+            if d not in keep:
+                lvl = lvl.withColumn(d, F.lit(None).cast(leaf.schema[d].dataType))
+        levels.append(lvl.select(*dims, digest_col))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
 def tdigest_rollup(
     df: DataFrame,
     value_col: str,

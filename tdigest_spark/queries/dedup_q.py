@@ -103,12 +103,33 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(sigs, "doc_id", max_hamming=3)
 
 
+def dd_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash retrieval of the planted EXACT duplicates, oracle-checked:
+    identical text implies identical signature (hamming 0, found by
+    every pigeonhole band), and a text-equality post-filter removes any
+    hash collision — so the result set provably equals the SQL
+    identical-text pair set, oracle-checking the simhash plumbing
+    without cross-engine hash parity."""
+    corpus = _augmented(spark, sf_dir)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    cand = simhash_pairs(sigs, "doc_id", max_hamming=0)
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "dd_exact_stats": dd_exact_stats,
     "dd_exact_survivors": dd_exact_survivors,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_ngram_jaccard_known_pairs": dd_ngram_jaccard_known_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
+    "dd_simhash_exact_pairs": dd_simhash_exact_pairs,
 }
 
 _SHINGLE_SQL = """
@@ -169,4 +190,10 @@ ORACLES = {
         JOIN sizes nb ON nb.doc_id = id_b
     """,
     # dd_simhash_pairs: intentionally no oracle (engine-specific hash)
+    "dd_simhash_exact_pairs": f"""
+        WITH corpus AS ({_AUG_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM corpus a JOIN corpus b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
 }

@@ -143,6 +143,20 @@ def td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
+def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(l_returnflag, l_linestatus) medians derived by digest merge
+    from the leaf level — the full 2^d subset lattice from one scan
+    (exact when lossless, matching SQL CUBE + quantile_cont)."""
+    from tdigest_spark.operators.digest_agg import tdigest_cube
+
+    li = load(spark, sf_dir, "lineitem")
+    cubed = tdigest_cube(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=LOSSLESS
+    )
+    out = tdigest_stats(cubed, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+
+
 def td_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed digests: per (event_type, day) quantiles —
     the time-bucketed rollup shape of a metrics pipeline."""
@@ -179,6 +193,7 @@ QUERIES = {
     "td_histogram_mass_events": td_histogram_mass_events,
     "td_p99_compressed": td_p99_compressed,
     "td_rollup_lineitem": td_rollup_lineitem,
+    "td_cube_lineitem": td_cube_lineitem,
     "td_windowed_events": td_windowed_events,
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
 }
@@ -247,6 +262,13 @@ ORACLES = {
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "td_cube_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               count(l_extendedprice) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     "td_windowed_events": """
         SELECT event_type, date_trunc('day', ts) AS day,
