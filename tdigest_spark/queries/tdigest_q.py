@@ -157,6 +157,29 @@ def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
+def td_sql_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL query surface: digests built once into a temp view,
+    then queried with registered SQL functions (tdigest_quantile /
+    tdigest_median / tdigest_total_weight) — the Spark-idiomatic form of
+    the reference's function-composition queries (Postprocess.hs:27-62)."""
+    from tdigest_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = load(spark, sf_dir, "events")
+    tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS).createOrReplaceTempView(
+        "__td_sql_digests"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(tdigest_median(digest), 4)         AS p50,
+               round(tdigest_quantile(digest, 0.9), 4)  AS p90,
+               cast(tdigest_total_weight(digest) AS bigint) AS n
+        FROM __td_sql_digests
+        """
+    )
+
+
 def td_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed digests: per (event_type, day) quantiles —
     the time-bucketed rollup shape of a metrics pipeline."""
@@ -194,6 +217,7 @@ QUERIES = {
     "td_p99_compressed": td_p99_compressed,
     "td_rollup_lineitem": td_rollup_lineitem,
     "td_cube_lineitem": td_cube_lineitem,
+    "td_sql_surface_events": td_sql_surface_events,
     "td_windowed_events": td_windowed_events,
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
 }
@@ -262,6 +286,13 @@ ORACLES = {
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "td_sql_surface_events": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               count(value) AS n
+        FROM events GROUP BY event_type
     """,
     "td_cube_lineitem": """
         SELECT l_returnflag, l_linestatus,

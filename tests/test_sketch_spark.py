@@ -103,3 +103,50 @@ def test_merge_equals_single_partition_build(spark, docs):
     a = HLL.from_bytes(bytes(many[0]["h"]))
     b = HLL.from_bytes(bytes(one[0]["h"]))
     assert np.array_equal(a.registers, b.registers)
+
+
+def test_sql_registered_sketch_functions(spark, sf_dir):
+    """Companion sketches queryable from pure SQL via registered UDFs."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.functions.sql_udfs import register_sql_functions
+    from tdigest_spark.operators.sketch_agg import sketch_build
+    from tdigest_spark.sources.tables import load
+
+    register_sql_functions(spark)
+    docs = load(spark, sf_dir, "documents")
+    built = sketch_build(
+        docs,
+        {
+            "h": ("hll", "text", 12),
+            "k": ("kll", "n_chars", 1_000_000),
+            "c": ("cms", "source", 0.001, 0.01),
+            "b": ("bloom", "source", 1 << 16, 7),
+        },
+        by=["lang"],
+    )
+    built.createOrReplaceTempView("__sk_sql")
+    present = docs.select("lang", "source").distinct().limit(1).collect()[0]
+    res = spark.sql(
+        f"""
+        SELECT lang,
+               hll_estimate(h)          AS n_distinct,
+               kll_quantile(k, 0.5)     AS p50,
+               cms_count(c, '{present["source"]}')  AS src_count,
+               bloom_contains(b, '{present["source"]}') AS has_src
+        FROM __sk_sql WHERE lang = '{present["lang"]}'
+        """
+    ).collect()[0]
+    exact = (
+        docs.where(F.col("lang") == present["lang"])
+        .agg(
+            F.countDistinct("text").alias("nd"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+            F.sum((F.col("source") == present["source"]).cast("long")).alias("sc"),
+        )
+        .collect()[0]
+    )
+    assert abs(res["n_distinct"] / exact["nd"] - 1) < 0.1
+    assert res["p50"] == pytest.approx(exact["p50"], rel=1e-9)  # lossless
+    assert res["src_count"] >= exact["sc"]  # CMS one-sided
+    assert res["has_src"] is True  # no false negatives
