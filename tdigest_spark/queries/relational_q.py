@@ -70,13 +70,42 @@ def q04_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q05_bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch semijoin: orders of customers in 3 nations. The
+    fact side is pre-filtered by a Bloom blob of the selected customer
+    keys BEFORE any shuffle (no false negatives -> result provably
+    equals the plain join, which is what the oracle checks); at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction that joins."""
+    from tdigest_spark.operators.sketch_join import bloom_semijoin
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    picked = customer.where(F.col("c_nationkey") < 3).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = bloom_semijoin(orders, picked, "o_custkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_revenue_by_nation": q03_revenue_by_nation,
     "q04_top_customers_per_nation": q04_top_customers_per_nation,
+    "q05_bloom_semijoin_revenue": q05_bloom_semijoin_revenue,
 }
 
 ORACLES = {
+    "q05_bloom_semijoin_revenue": """
+        SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey < 3
+        GROUP BY c_nationkey
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

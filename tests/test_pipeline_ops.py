@@ -168,3 +168,25 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c2 = train_ivf_centroids(emb, "embedding", nlist=8, seed=7)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_bloom_semijoin_exact_and_pruning(spark, sf_dir):
+    """Bloom semijoin must (a) return exactly the plain join's rows and
+    (b) actually prune the fact side before the join."""
+    from tdigest_spark.operators.sketch_join import bloom_filter_column, bloom_semijoin
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    picked = customer.where(F.col("c_nationkey") < 2).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = orders.join(picked, "o_custkey").count()
+    fast = bloom_semijoin(orders, picked, "o_custkey").count()
+    assert fast == plain
+
+    flt = bloom_filter_column(orders, "o_custkey", picked, "o_custkey")
+    n_total = orders.count()
+    n_pass = flt.where(F.col("__bloom_hit")).count()
+    # keys of ~2/25 nations: the filter must prune most of the fact side
+    assert n_pass < n_total * 0.5
+    assert n_pass >= plain  # no false negatives
