@@ -49,6 +49,10 @@ def bloom_filter_column(
     The key set is sketched into one Bloom blob (distributed build,
     one O(n_bits/8)-byte collect) that rides the UDF closure to every
     worker — the sketch analog of a broadcast join's build side.
+
+    The probe is a mapInPandas stage, opaque to Catalyst: ``select()``
+    the columns you need BEFORE calling this, or the scan reads every
+    column (PLANS.md §5).
     """
     blob = sketch_build(keys_df, {"b": ("bloom", keys_col, n_bits, n_hashes)}).collect()[
         0

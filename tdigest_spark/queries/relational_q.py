@@ -79,7 +79,9 @@ def q05_bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling the ~selectivity fraction that joins."""
     from tdigest_spark.operators.sketch_join import bloom_semijoin
 
-    orders = load(spark, sf_dir, "orders")
+    # project BEFORE the bloom probe: mapInPandas is opaque to Catalyst,
+    # so column pruning must happen ahead of it (PLANS.md §5)
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = load(spark, sf_dir, "customer")
     picked = customer.where(F.col("c_nationkey") < 3).select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
