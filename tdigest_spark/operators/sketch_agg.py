@@ -32,7 +32,14 @@ from tdigest_spark.sketch.cms import CountMin
 from tdigest_spark.sketch.hll import HLL
 from tdigest_spark.sketch.kll import KLL
 
-__all__ = ["sketch_build", "sketch_estimates", "bloom_probe", "cms_probe", "sketch_agg"]
+__all__ = [
+    "sketch_build",
+    "sketch_merge_agg",
+    "sketch_estimates",
+    "bloom_probe",
+    "cms_probe",
+    "sketch_agg",
+]
 
 
 class _Kind:
@@ -209,6 +216,77 @@ def sketch_build(
             yield merge_partials(pd.concat(chunks, ignore_index=True))
 
     return partials.repartition(1).mapInPandas(merge_global, out_schema)
+
+
+def sketch_merge_agg(
+    df: DataFrame, kinds: dict[str, str], by: Sequence[str] = ()
+) -> DataFrame:
+    """Merge EXISTING sketch-blob columns per group (the companion-
+    sketch analog of ``tdigest_merge_agg`` — the reference's ``<>``,
+    ``Tree/Internal.hs:143-153``). ``kinds`` maps blob column ->
+    sketch kind. This is what rollups over checkpointed sketch tables
+    use: coarser groupings derive from finer ones by associative merge,
+    never rescanning the raw table.
+
+    Same partial/final shape: partition-local merges first, so one
+    blob per (partition x group x column) shuffles.
+    """
+    by = list(by)
+    cols = list(kinds)
+    src = df.select(*by, *cols)
+    out_schema = T.StructType(
+        [src.schema[c] for c in by]
+        + [T.StructField(c, T.BinaryType(), True) for c in cols]
+    )
+
+    def _merge_col(kind: str, blobs) -> bytes:
+        objs = [_CLS[kind].from_bytes(bytes(b)) for b in blobs]
+        acc = objs[0]
+        for o in objs[1:]:
+            acc = acc.merge(o)
+        return acc.to_bytes()
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, dict[str, bytes]] = {}
+        for pdf in batches:
+            groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+            for key, g in groups:
+                key = key if isinstance(key, tuple) else (key,)
+                sk = accs.get(key)
+                for c in cols:
+                    blobs = list(g[c])
+                    if sk is not None and c in sk:
+                        blobs.append(sk[c])
+                    accs.setdefault(key, {})[c] = _merge_col(kinds[c], blobs)
+        if not accs:
+            return
+        data: dict[str, list] = {c: [] for c in by}
+        for c in cols:
+            data[c] = []
+        for key, sk in accs.items():
+            for c, k in zip(by, key):
+                data[c].append(k)
+            for c in cols:
+                data[c].append(sk[c])
+        yield pd.DataFrame(data)
+
+    partials = src.mapInPandas(partial, out_schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        for c in cols:
+            out[c] = [_merge_col(kinds[c], list(pdf[c]))]
+        return pd.DataFrame(out)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(final, out_schema)
+
+    def final_global(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            yield final(pd.concat(chunks, ignore_index=True))
+
+    return partials.repartition(1).mapInPandas(final_global, out_schema)
 
 
 _EST_FNS = {

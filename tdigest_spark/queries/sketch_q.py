@@ -21,6 +21,7 @@ from tdigest_spark.operators.sketch_agg import (
     cms_probe,
     sketch_build,
     sketch_estimates,
+    sketch_merge_agg,
 )
 from tdigest_spark.sources.tables import load
 
@@ -147,6 +148,23 @@ def sk_kll_weighted_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols)
 
 
+def sk_hll_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup WITHOUT rescanning: per-(lang, source) HLL
+    blobs built once, per-lang distincts derived by register-max merge
+    (``sketch_merge_agg``) — the checkpoint-table rollup pattern at
+    100 TB. Estimate asserted within the 3-sigma HLL bound."""
+    docs = load(spark, sf_dir, "documents")
+    fine = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang", "source"])
+    rolled = sketch_merge_agg(fine, {"h": "hll"}, by=["lang"])
+    est = sketch_estimates(rolled, {"nd": ("hll_estimate", "h")})
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang",
+        "exact_distinct",
+        (F.abs(F.col("nd") / F.col("exact_distinct") - 1) < _HLL_3SIG).alias("est_ok"),
+    )
+
+
 def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     built = sketch_build(ev, {"h": ("hll", "user_id", _HLL_P)})
@@ -165,6 +183,7 @@ QUERIES = {
     "sk_kll_weighted_cdf_lineitem": sk_kll_weighted_cdf_lineitem,
     "sk_cms_source_counts": sk_cms_source_counts,
     "sk_hll_global_events": sk_hll_global_events,
+    "sk_hll_rollup_docs": sk_hll_rollup_docs,
 }
 
 ORACLES = {
@@ -213,5 +232,9 @@ ORACLES = {
     "sk_hll_global_events": """
         SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok
         FROM events
+    """,
+    "sk_hll_rollup_docs": """
+        SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
+        FROM documents GROUP BY lang
     """,
 }

@@ -150,3 +150,47 @@ def test_sql_registered_sketch_functions(spark, sf_dir):
     assert res["p50"] == pytest.approx(exact["p50"], rel=1e-9)  # lossless
     assert res["src_count"] >= exact["sc"]  # CMS one-sided
     assert res["has_src"] is True  # no false negatives
+
+
+def test_sketch_merge_agg_rollup(spark, sf_dir):
+    """Coarser sketch groupings derived by blob merge must match
+    sketches built directly at the coarser grain (associativity)."""
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_build,
+        sketch_estimates,
+        sketch_merge_agg,
+    )
+    from tdigest_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fine = sketch_build(
+        docs,
+        {"h": ("hll", "text", 12), "k": ("kll", "n_chars", 1_000_000)},
+        by=["lang", "source"],
+    )
+    rolled = sketch_merge_agg(fine, {"h": "hll", "k": "kll"}, by=["lang"])
+    direct = sketch_build(
+        docs,
+        {"h": ("hll", "text", 12), "k": ("kll", "n_chars", 1_000_000)},
+        by=["lang"],
+    )
+    est = lambda df: {
+        r["lang"]: (r["nd"], r["p50"])
+        for r in sketch_estimates(
+            df, {"nd": ("hll_estimate", "h"), "p50": ("kll_quantile", "k", 0.5)}
+        ).collect()
+    }
+    a, b = est(rolled), est(direct)
+    assert set(a) == set(b)
+    for lang in a:
+        # HLL register-max merge is exactly order-insensitive
+        assert a[lang][0] == pytest.approx(b[lang][0], rel=1e-12)
+        # KLL lossless: merge-of-parts == direct build exactly
+        assert a[lang][1] == pytest.approx(b[lang][1], abs=1e-9)
+
+    # global rollup from the fine level
+    g = sketch_merge_agg(fine, {"h": "hll"}, by=[])
+    got = sketch_estimates(g, {"nd": ("hll_estimate", "h")}).collect()[0]["nd"]
+    dg = sketch_build(docs, {"h": ("hll", "text", 12)})
+    want = sketch_estimates(dg, {"nd": ("hll_estimate", "h")}).collect()[0]["nd"]
+    assert got == pytest.approx(want, rel=1e-12)
