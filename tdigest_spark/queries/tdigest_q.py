@@ -120,11 +120,39 @@ def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def td_p99_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real compression level (delta=100) — approximate by design, so
-    rows-only check here; rank-error bound asserted in pytest."""
-    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=100)
-    return tdigest_stats(
-        dig, {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99), "n_centroids": ("size",)}
+    """Real compression level (delta=100), oracle-checked the way the
+    approximate sketches are: the exact rank of each estimate is
+    computed with Spark built-ins and asserted within the published
+    O(1/delta) rank-error bound as a boolean (DuckDB oracle emits the
+    same exact count + literal true, so a bound violation IS a hash
+    mismatch)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    dig = tdigest_agg(ev, "value", by=["event_type"], delta=100)
+    est = tdigest_stats(dig, {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99)})
+    j = ev.join(F.broadcast(est), "event_type")
+    v = F.col("value")
+    ranks = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            (
+                F.sum((v < F.col("p50")).cast("double"))
+                + 0.5 * F.sum((v == F.col("p50")).cast("double"))
+            )
+            / F.count("*")
+        ).alias("r50"),
+        (
+            (
+                F.sum((v < F.col("p99")).cast("double"))
+                + 0.5 * F.sum((v == F.col("p99")).cast("double"))
+            )
+            / F.count("*")
+        ).alias("r99"),
+    )
+    return ranks.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.02).alias("p50_ok"),
+        (F.abs(F.col("r99") - 0.99) <= 0.02).alias("p99_ok"),
     )
 
 
@@ -314,5 +342,9 @@ ORACLES = {
                sum(l_quantity)::BIGINT AS wtotal
         FROM lineitem GROUP BY l_returnflag
     """,
-    # td_p99_compressed: intentionally no oracle (approximate output)
+    "td_p99_compressed": """
+        SELECT event_type, count(value) AS n,
+               true AS p50_ok, true AS p99_ok
+        FROM events GROUP BY event_type
+    """,
 }
