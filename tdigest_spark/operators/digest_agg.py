@@ -333,6 +333,62 @@ def tdigest_histogram(
     return df.mapInPandas(evaluate, out_schema)
 
 
+def tdigest_describe(
+    df: DataFrame, digest_col: str = "digest"
+) -> DataFrame:
+    """Observability view of a digest column — the Spark analog of the
+    reference's ``debugPrint`` (``Tree/Internal.hs:403-410``) and
+    ``size``/``validate`` surface: per row, centroid count, total
+    weight, value range, compression delta, max centroid weight, and a
+    validity flag (sorted means / positive weights / weight
+    conservation, cf. ``validate``, ``Tree/Internal.hs:417-445``)."""
+    keep = [c for c in df.columns if c != digest_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("n_centroids", T.IntegerType()),
+            T.StructField("total_weight", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+            T.StructField("delta", T.IntegerType()),
+            T.StructField("max_centroid_weight", T.DoubleType()),
+            T.StructField("is_valid", T.BooleanType()),
+        ]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            rows = []
+            for r in pdf[digest_col]:
+                d = TDigest.from_row(r)
+                try:
+                    d.validate()
+                    ok = True
+                except AssertionError:
+                    ok = False
+                rows.append(
+                    (
+                        int(d.size),
+                        float(d.total_weight),
+                        None if d.is_empty() else float(d.vmin),
+                        None if d.is_empty() else float(d.vmax),
+                        int(d.delta),
+                        float(d.weights.max()) if d.size else None,
+                        ok,
+                    )
+                )
+            cols = [
+                "n_centroids", "total_weight", "vmin", "vmax", "delta",
+                "max_centroid_weight", "is_valid",
+            ]
+            for i, c in enumerate(cols):
+                out[c] = [row[i] for row in rows]
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
+
+
 def tdigest_cube(
     df: DataFrame,
     value_col: str,

@@ -177,3 +177,22 @@ def test_scan_pruning(spark, sf_dir):
     txt = " ".join(scan_line)
     assert "event_type" in txt and "value" in txt
     assert "props" not in txt and "user_id" not in txt, txt
+
+
+def test_tdigest_describe(spark, sf_dir):
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_describe
+    from tdigest_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    dig = tdigest_agg(ev, "value", by=["event_type"], delta=100)
+    desc = tdigest_describe(dig).collect()
+    n = ev.groupBy("event_type").count().collect()
+    counts = {r["event_type"]: r["count"] for r in n}
+    assert len(desc) == len(counts)
+    for r in desc:
+        assert r["is_valid"] is True
+        assert r["total_weight"] == counts[r["event_type"]]
+        assert 0 < r["n_centroids"] <= 200  # ~<= 2*delta hard cap region
+        assert r["vmin"] <= r["vmax"]
+        assert r["delta"] == 100
+        assert r["max_centroid_weight"] <= r["total_weight"]
