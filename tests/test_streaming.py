@@ -171,3 +171,43 @@ def test_windowed_digest_stream_with_eviction(spark, sf_dir, timed_stream_dir, t
         n, q50 = got[(r["window_start"], r["event_type"])]
         assert n == int(r["n"])
         assert q50 == pytest.approx(r["q_0_5"], abs=1e-9)
+
+
+def test_streaming_bloom_dedup(spark, sf_dir, tmp_path):
+    """Bounded-state streaming dedup: planted cross-chunk duplicates
+    are dropped, first occurrences all survive (Bloom has no false
+    negatives; at these sizes fpp ~ 1e-12 so the check is exact)."""
+    import numpy as np
+
+    from tdigest_spark.streaming.dedup_stream import streaming_bloom_dedup
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    pdf = ev.toPandas().sort_values("event_id", ignore_index=True)
+    chunks = np.array_split(pdf.index.to_numpy(), 3)
+    d = tmp_path / "dd_src"
+    for i, chunk in enumerate(chunks):
+        part = pdf.loc[chunk]
+        if i > 0:  # replant 20 rows from the previous chunk = duplicates
+            part = __import__("pandas").concat(
+                [part, pdf.loc[chunks[i - 1][:20]]], ignore_index=True
+            )
+        spark.createDataFrame(part).coalesce(1).write.parquet(str(d / f"chunk={i}"))
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk=*")
+    )
+    out = streaming_bloom_dedup(stream, "event_id", buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT event_id FROM dd_stream").toPandas()["event_id"]
+    assert got.is_unique
+    assert set(got) == set(pdf["event_id"])  # every key exactly once
