@@ -37,6 +37,7 @@ from tdigest_spark.operators.digest_agg import (
     tdigest_stats,
 )
 from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+from tdigest_spark.sources.catalog import read_table, write_table
 from tdigest_spark.sources.webpages import synth_webpages
 
 STAT_SPEC = {
@@ -188,7 +189,7 @@ def run_checkpointed(
         pages = spark.sql(_range_sql(lo, hi, partitions_per_bucket))
         feats = with_text_features(pages).select("lang", "n_chars")
         partials = tdigest_agg(feats, "n_chars", by=["lang"], delta=delta)
-        partials.withColumn("bucket", F.lit(b)).write.mode("overwrite").parquet(part_path)
+        fmt = write_table(partials.withColumn("bucket", F.lit(b)), part_path)
         dt = time.perf_counter() - t0
         rows = hi - lo
         manifest["buckets"][key] = {
@@ -198,12 +199,13 @@ def run_checkpointed(
             "wall_s": round(dt, 3),
             "docs_per_sec": round(rows / dt, 1),
             "path": part_path,
+            "format": fmt,
         }
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=1)
 
-    all_partials = spark.read.parquet(
-        *[m["path"] for m in manifest["buckets"].values()]
+    all_partials = read_table(
+        spark, *[m["path"] for m in manifest["buckets"].values()]
     ).drop("bucket")
     final = tdigest_merge_agg(all_partials, by=["lang"])
     return tdigest_stats(final, STAT_SPEC).withColumn(
