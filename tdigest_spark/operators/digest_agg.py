@@ -23,6 +23,7 @@ any single reducer's fan-in.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -209,6 +210,99 @@ def tdigest_merge_agg(
         ),
         T.StructType([T.StructField(digest_col, DIGEST_TYPE, True)]),
     )
+
+
+def tdigest_merge_agg_sql(
+    df: DataFrame,
+    by: Sequence[str] = (),
+    digest_col: str = "digest",
+    delta: int | None = None,
+) -> DataFrame:
+    """Digest merge + k1 compression entirely in JVM expressions — the
+    pandas-free merge stage (SURVEY.md §8 round-2 candidate, now done).
+
+    Instead of the greedy sequential pass (``merge``,
+    ``Vector/Internal.hs:142-167``), centroids get a closed-form
+    cluster id ``floor(ksize(q_mid, delta))`` from their mid-rank —
+    the ksize function is monotone, so clusters partition the sorted
+    centroid order and every cluster's q-width is <= 1/delta: a valid
+    t-digest construction with the same published rank-error bound
+    (boundaries differ slightly from the greedy pass, values agree
+    within bound; identical — exact — in lossless mode where every
+    centroid keeps its own cluster).
+
+    Physical plan: explode (generate) -> window cumsum per group ->
+    hash-agg weighted means -> sort_array(collect_list) rebuild.
+    Everything whole-stage-codegen except the window sort; no Python
+    worker is involved, so this path wins when group count is large
+    (no Arrow hop, no per-group pandas overhead).
+    """
+    by = list(by)
+    c = F.col
+
+    ex = df.select(
+        *by,
+        c(f"{digest_col}.delta").alias("__delta"),
+        c(f"{digest_col}.vmin").alias("__vmin"),
+        c(f"{digest_col}.vmax").alias("__vmax"),
+        F.explode(
+            F.arrays_zip(
+                c(f"{digest_col}.means").alias("m"),
+                c(f"{digest_col}.weights").alias("w"),
+            )
+        ).alias("__c"),
+    ).select(
+        *by,
+        "__delta",
+        "__vmin",
+        "__vmax",
+        c("__c.m").alias("__m"),
+        c("__c.w").alias("__w"),
+    )
+
+    from pyspark.sql import Window as W
+
+    keys = [c(k) for k in by]
+    # ROWS frame, not the default RANGE: tied means must accumulate
+    # row-by-row or the cumsum jumps over the whole tie group
+    win = (
+        W.partitionBy(*keys)
+        .orderBy(c("__m"), c("__w"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy(*keys)
+    d_out = F.lit(delta).cast("double") if delta is not None else F.max("__delta").over(tot).cast("double")
+    cum = F.sum("__w").over(win) - c("__w") / 2.0
+    tw = F.sum("__w").over(tot)
+    q = F.least(F.greatest(cum / tw, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    # ksize k1 (Vector/Internal.hs:106-116): delta*(asin(2q-1)/pi + 1/2)
+    kcl = F.floor(d_out * (F.asin(2.0 * q - 1.0) / math.pi + 0.5))
+
+    clustered = ex.select(*by, "__delta", "__vmin", "__vmax", "__m", "__w", kcl.alias("__k"))
+    agg = clustered.groupBy(*by, "__k").agg(
+        (F.sum(c("__m") * c("__w")) / F.sum("__w")).alias("__cm"),
+        F.sum("__w").alias("__cw"),
+        F.min("__vmin").alias("__vmin"),
+        F.max("__vmax").alias("__vmax"),
+        F.min("__delta").alias("__delta"),
+    )
+    rebuilt = agg.groupBy(*by).agg(
+        F.sort_array(F.collect_list(F.struct(c("__cm").alias("m"), c("__cw").alias("w")))).alias("__arr"),
+        F.min("__vmin").alias("__vmin"),
+        F.max("__vmax").alias("__vmax"),
+        F.min("__delta").alias("__delta"),
+    )
+    digest_struct = F.struct(
+        F.transform("__arr", lambda x: x["m"]).alias("means"),
+        F.transform("__arr", lambda x: x["w"]).alias("weights"),
+        F.aggregate("__arr", F.lit(0.0), lambda acc, x: acc + x["w"]).alias(
+            "total_weight"
+        ),
+        c("__vmin").alias("vmin"),
+        c("__vmax").alias("vmax"),
+        (F.lit(delta) if delta is not None else c("__delta")).cast("int").alias("delta"),
+    )
+    return rebuilt.select(*by, digest_struct.alias(digest_col))
 
 
 # ---------------------------------------------------------------------------

@@ -185,6 +185,22 @@ def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
+def td_merge_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-free merge path: partial digests per (event_type,
+    value-band) merged by tdigest_merge_agg_sql — pure JVM expressions
+    (explode -> window cumsum -> closed-form k1 cluster ids ->
+    hash-agg rebuild), no Python worker in the merge stage. Exact in
+    lossless mode, so it hash-matches quantile_cont."""
+    from tdigest_spark.operators.digest_agg import tdigest_merge_agg_sql
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    banded = ev.withColumn("band", (F.col("value") > 30).cast("int"))
+    partial = tdigest_agg(banded, "value", by=["event_type", "band"], delta=LOSSLESS)
+    merged = tdigest_merge_agg_sql(partial.drop("band"), by=["event_type"])
+    out = tdigest_stats(merged, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+
+
 def td_sql_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL query surface: digests built once into a temp view,
     then queried with registered SQL functions (tdigest_quantile /
@@ -246,6 +262,7 @@ QUERIES = {
     "td_rollup_lineitem": td_rollup_lineitem,
     "td_cube_lineitem": td_cube_lineitem,
     "td_sql_surface_events": td_sql_surface_events,
+    "td_merge_sql_events": td_merge_sql_events,
     "td_windowed_events": td_windowed_events,
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
 }
@@ -314,6 +331,11 @@ ORACLES = {
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "td_merge_sql_events": """
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+               count(value) AS n
+        FROM events GROUP BY event_type
     """,
     "td_sql_surface_events": """
         SELECT event_type,

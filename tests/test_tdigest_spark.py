@@ -196,3 +196,42 @@ def test_tdigest_describe(spark, sf_dir):
         assert r["vmin"] <= r["vmax"]
         assert r["delta"] == 100
         assert r["max_centroid_weight"] <= r["total_weight"]
+
+
+def test_tdigest_merge_agg_sql(spark, sf_dir):
+    """JVM-only merge path: lossless == python merge == exact; compressed
+    within rank bound with bounded centroid count."""
+    import numpy as np
+
+    from tdigest_spark.operators.digest_agg import (
+        tdigest_agg,
+        tdigest_merge_agg,
+        tdigest_merge_agg_sql,
+        tdigest_stats,
+    )
+    from tdigest_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    banded = ev.withColumn("band", (F.col("value") > 30).cast("int"))
+    LOSS = 2_000_000
+    partial = tdigest_agg(banded, "value", by=["event_type", "band"], delta=LOSS)
+    m_sql = tdigest_merge_agg_sql(partial.drop("band"), by=["event_type"])
+    m_py = tdigest_merge_agg(partial.drop("band"), by=["event_type"])
+    s_sql = {r["event_type"]: r["p50"] for r in tdigest_stats(m_sql, {"p50": ("quantile", 0.5)}).collect()}
+    s_py = {r["event_type"]: r["p50"] for r in tdigest_stats(m_py, {"p50": ("quantile", 0.5)}).collect()}
+    assert s_sql == pytest.approx(s_py, abs=1e-9)  # both exact lossless
+
+    partial2 = tdigest_agg(banded, "value", by=["event_type", "band"], delta=100)
+    m2 = tdigest_merge_agg_sql(partial2.drop("band"), by=["event_type"], delta=100)
+    vals = ev.toPandas()
+    for r in m2.collect():
+        d = r["digest"]
+        assert len(d["means"]) <= 202
+        assert list(d["means"]) == sorted(d["means"])
+        g = vals[vals.event_type == r["event_type"]]["value"].to_numpy()
+        assert abs(sum(d["weights"]) - len(g)) < 1e-6
+    stats = tdigest_stats(m2, {"p50": ("quantile", 0.5)}).collect()
+    for r in stats:
+        g = vals[vals.event_type == r["event_type"]]["value"].to_numpy()
+        rank = (g < r["p50"]).mean()
+        assert abs(rank - 0.5) < 0.02
