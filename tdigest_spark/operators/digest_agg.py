@@ -509,7 +509,9 @@ def tdigest_cube(
         if len(keep) == len(dims):
             lvl = leaf
         else:
-            lvl = tdigest_merge_agg(
+            # JVM merge path: ~10x faster than the pandas merge at high
+            # group counts (see BENCH.md §1d), identical in lossless mode
+            lvl = tdigest_merge_agg_sql(
                 leaf.select(*keep, digest_col), by=keep, digest_col=digest_col
             )
         for d in dims:
@@ -546,7 +548,7 @@ def tdigest_rollup(
     cur = leaf
     for i in range(len(dims) - 1, -1, -1):
         keep = dims[:i]
-        cur = tdigest_merge_agg(
+        cur = tdigest_merge_agg_sql(
             cur.select(*keep, digest_col), by=keep, digest_col=digest_col
         )
         lvl = cur
