@@ -66,6 +66,7 @@ def tdigest_agg(
     weight_col: str | None = None,
     digest_col: str = "digest",
     salt: int | None = None,
+    merge_engine: str = "sql",
 ) -> DataFrame:
     """Aggregate ``value_col`` into one t-digest per group.
 
@@ -76,6 +77,13 @@ def tdigest_agg(
     partial count is huge (e.g. 1e5 input partitions) or whose keys are
     skewed — partials are first merged within ``hash(partition) % salt``
     buckets, then across buckets (two-level tree merge).
+
+    ``merge_engine`` (grouped only): ``"sql"`` (default — pure JVM
+    expression merge, ~10x faster at thousands of groups AND measured
+    unbiased at mid-quantiles: avg p50 error 0.00 vs -1.2% for the
+    greedy pass over 10k uniform groups, BENCH.md §1d) or ``"pandas"``
+    (the greedy vector merge in the Python worker, kept for parity with
+    the reference's sequential algorithm).
     """
     by = list(by)
     cols = [F.col(c) for c in by] + [F.col(value_col).cast("double").alias(_VALUE)]
@@ -142,6 +150,10 @@ def tdigest_agg(
         partials = mid.drop(_SALT)
 
     if by:
+        if merge_engine == "sql":
+            return tdigest_merge_agg_sql(
+                partials, by=by, digest_col=digest_col, delta=delta
+            )
         return partials.groupBy(*by).applyInPandas(merge_partials, out_schema)
     # global sketch: single final reduce over (salted-or-not) partials
     return partials.repartition(1).mapInPandas(
@@ -245,7 +257,10 @@ def tdigest_merge_agg_sql(
         c(f"{digest_col}.delta").alias("__delta"),
         c(f"{digest_col}.vmin").alias("__vmin"),
         c(f"{digest_col}.vmax").alias("__vmax"),
-        F.explode(
+        # explode_outer, not explode: an EMPTY digest (all-null group)
+        # must keep its group row — it yields one null centroid that is
+        # filtered out at rebuild, preserving the NULL-stats semantics
+        F.explode_outer(
             F.arrays_zip(
                 c(f"{digest_col}.means").alias("m"),
                 c(f"{digest_col}.weights").alias("w"),
@@ -292,10 +307,12 @@ def tdigest_merge_agg_sql(
         F.max("__vmax").alias("__vmax"),
         F.min("__delta").alias("__delta"),
     )
+    # drop the null centroid an empty digest contributes (explode_outer)
+    arr = F.filter("__arr", lambda x: x["m"].isNotNull() & x["w"].isNotNull())
     digest_struct = F.struct(
-        F.transform("__arr", lambda x: x["m"]).alias("means"),
-        F.transform("__arr", lambda x: x["w"]).alias("weights"),
-        F.aggregate("__arr", F.lit(0.0), lambda acc, x: acc + x["w"]).alias(
+        F.transform(arr, lambda x: x["m"]).alias("means"),
+        F.transform(arr, lambda x: x["w"]).alias("weights"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["w"]).alias(
             "total_weight"
         ),
         c("__vmin").alias("vmin"),

@@ -157,14 +157,31 @@ def test_nulls_dropped(spark):
 
 
 def test_plan_shape_no_raw_shuffle(spark, events):
-    """The physical plan must shuffle digests, not raw rows: exactly one
-    exchange, placed after the Python partial-agg map stage."""
-    dig = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    """Pandas merge engine: the plan must shuffle digests, not raw
+    rows — exactly one exchange, after the Python partial-agg map."""
+    dig = tdigest_agg(
+        events, "value", by=["event_type"], delta=100, merge_engine="pandas"
+    )
     plan = dig._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 2, plan  # hash exchange (+AQE wrapper) only
     # partial python map must appear below the exchange in the tree
     assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_plan_shape_sql_merge_engine(spark, events):
+    """SQL merge engine (grouped default): the partial build is the
+    ONLY Python stage — the merge is window + hash aggregates, and
+    what shuffles is centroid rows derived from digests, never raw
+    input rows (the map stage still runs before every exchange)."""
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    plan = dig._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the partial build
+    assert "FlatMapGroupsInPandas" not in plan  # merge is JVM-only
+    assert "Window" in plan and "HashAggregate" in plan
+    # the python partial stage feeds the first exchange: raw rows
+    # never shuffle
+    assert plan.index("MapInPandas") > plan.index("Exchange")
 
 
 def test_scan_pruning(spark, sf_dir):
