@@ -252,3 +252,24 @@ def test_tdigest_merge_agg_sql(spark, sf_dir):
         g = vals[vals.event_type == r["event_type"]]["value"].to_numpy()
         rank = (g < r["p50"]).mean()
         assert abs(rank - 0.5) < 0.02
+
+
+def test_grouped_merge_unbiased_at_median(spark):
+    """Regression guard for the merge-bias finding (BENCH.md §1d): the
+    default (sql) grouped merge must be unbiased at the median — the
+    across-group MEAN of per-group p50 estimates converges to the true
+    median even though each group's estimate has O(1/delta) noise."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400_000, 1, 8).select(
+        (F.col("id") % 1000).alias("g"),
+        (F.pmod(F.col("id") * 2654435761, 1000003) / 1000.0).alias("v"),
+    )
+    dig = tdigest_agg(df, "v", by=["g"], delta=100)
+    avg_p50 = (
+        tdigest_stats(dig, {"p50": ("quantile", 0.5)})
+        .agg(F.avg("p50"))
+        .collect()[0][0]
+    )
+    # true median ~500.0; greedy pandas merge showed ~-6 bias here
+    assert abs(avg_p50 - 500.0) < 2.0, avg_p50
