@@ -1,0 +1,61 @@
+"""tdigest_spark — PySpark-native distributed sketch / approximate-
+aggregation engine (see README.md, SURVEY.md).
+
+Top-level re-exports cover the primary API; submodules hold the rest
+(operators.dedup, operators.similarity, operators.multimodal,
+functions.textstats, streaming.*, sources.*, jobs.*). Imports are
+lazy (PEP 562) so `import tdigest_spark` stays cheap and pyspark is
+only touched when an API is first used.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+_EXPORTS = {
+    # session
+    "get_spark": ("tdigest_spark.session", "get_spark"),
+    # t-digest
+    "TDigest": ("tdigest_spark.sketch.tdigest", "TDigest"),
+    "tdigest_agg": ("tdigest_spark.operators.digest_agg", "tdigest_agg"),
+    "tdigest_merge_agg": ("tdigest_spark.operators.digest_agg", "tdigest_merge_agg"),
+    "tdigest_merge_agg_sql": (
+        "tdigest_spark.operators.digest_agg",
+        "tdigest_merge_agg_sql",
+    ),
+    "tdigest_stats": ("tdigest_spark.operators.digest_agg", "tdigest_stats"),
+    "tdigest_cdf_at": ("tdigest_spark.operators.digest_agg", "tdigest_cdf_at"),
+    "tdigest_histogram": ("tdigest_spark.operators.digest_agg", "tdigest_histogram"),
+    "tdigest_rollup": ("tdigest_spark.operators.digest_agg", "tdigest_rollup"),
+    "tdigest_cube": ("tdigest_spark.operators.digest_agg", "tdigest_cube"),
+    "tdigest_describe": ("tdigest_spark.operators.digest_agg", "tdigest_describe"),
+    # companion sketches
+    "HLL": ("tdigest_spark.sketch.hll", "HLL"),
+    "CountMin": ("tdigest_spark.sketch.cms", "CountMin"),
+    "KLL": ("tdigest_spark.sketch.kll", "KLL"),
+    "BloomFilter": ("tdigest_spark.sketch.bloom", "BloomFilter"),
+    "sketch_build": ("tdigest_spark.operators.sketch_agg", "sketch_build"),
+    "sketch_merge_agg": ("tdigest_spark.operators.sketch_agg", "sketch_merge_agg"),
+    "sketch_estimates": ("tdigest_spark.operators.sketch_agg", "sketch_estimates"),
+    "sketch_agg": ("tdigest_spark.operators.sketch_agg", "sketch_agg"),
+    "bloom_probe": ("tdigest_spark.operators.sketch_agg", "bloom_probe"),
+    "cms_probe": ("tdigest_spark.operators.sketch_agg", "cms_probe"),
+    "bloom_semijoin": ("tdigest_spark.operators.sketch_join", "bloom_semijoin"),
+    # SQL surface
+    "register_sql_functions": (
+        "tdigest_spark.functions.sql_udfs",
+        "register_sql_functions",
+    ),
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'tdigest_spark' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
