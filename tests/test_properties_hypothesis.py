@@ -1,0 +1,109 @@
+"""QuickCheck-style property tests via hypothesis, mirroring the
+reference's tasty/QuickCheck layer (``tdigest/tests/Tests.hs:13-35``):
+arbitrary inputs -> structural invariants hold. Pure numpy cores only
+(fast, no Spark session).
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tdigest_spark.sketch.kll import KLL
+from tdigest_spark.sketch.tdigest import TDigest
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+small_delta = st.integers(min_value=2, max_value=50)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=300), small_delta)
+def test_tdigest_is_valid(xs, delta):
+    """propTDigestIsValid (Tests.hs:19-24): any input + any small delta
+    -> the digest passes validate and conserves weight exactly."""
+    d = TDigest.from_values(np.array(xs), delta).compressed()
+    d.validate()
+    assert d.total_weight == len(xs)
+    assert d.vmin == min(xs) and d.vmax == max(xs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=300), small_delta)
+def test_histogram_is_valid(xs, delta):
+    """propHistogramIsValid (Tests.hs:27-35 /
+    Postprocess/Internal.hs:169-178): bins chain with no gaps and
+    cumulative weights accumulate exactly."""
+    d = TDigest.from_values(np.array(xs), delta).compressed()
+    bins = d.histogram()
+    cum = 0.0
+    prev_hi = None
+    for lo, hi, _mid, w, cw in bins:
+        assert lo <= hi
+        if prev_hi is not None:
+            assert lo == prev_hi  # no gap
+        assert cw == cum or math.isclose(cw, cum, rel_tol=1e-9, abs_tol=1e-9)
+        cum += w
+        prev_hi = hi
+    assert math.isclose(cum, d.total_weight, rel_tol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=200),
+    st.lists(finite, min_size=1, max_size=200),
+    small_delta,
+)
+def test_merge_conserves_and_bounds(xs, ys, delta):
+    """Semigroup laws within bound (Tree/Internal.hs:65-77): merge
+    conserves weight/min/max, and quantiles stay inside [vmin, vmax]."""
+    a = TDigest.from_values(np.array(xs), delta)
+    b = TDigest.from_values(np.array(ys), delta)
+    m = a.merge(b).compressed()
+    m.validate()
+    assert m.total_weight == len(xs) + len(ys)
+    assert m.vmin == min(min(xs), min(ys))
+    assert m.vmax == max(max(xs), max(ys))
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        v = m.quantile(q)
+        assert m.vmin - 1e-9 <= v <= m.vmax + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=300), small_delta)
+def test_cdf_is_monotone(xs, delta):
+    d = TDigest.from_values(np.array(xs), delta).compressed()
+    lo, hi = d.vmin, d.vmax
+    probes = np.linspace(lo - 1.0, hi + 1.0, 25)
+    cdfs = [d.cdf(float(x)) for x in probes]
+    assert all(b >= a - 1e-12 for a, b in zip(cdfs, cdfs[1:]))
+    assert cdfs[0] == 0.0 and cdfs[-1] == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=300), st.integers(8, 64))
+def test_kll_weight_conservation(xs, k):
+    s = KLL(k=k).add(np.array(xs))
+    _v, w = s._items()
+    assert float(w.sum()) == len(xs)
+    assert s.n == len(xs)
+    for q in (0.0, 0.5, 1.0):
+        v = s.quantile(q)
+        assert s.vmin - 1e-9 <= v <= s.vmax + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(finite, min_size=1, max_size=150),
+    st.lists(st.integers(1, 30), min_size=1, max_size=150),
+    st.integers(16, 64),
+)
+def test_kll_weighted_conservation(xs, ws, k):
+    n = min(len(xs), len(ws))
+    v, w = np.array(xs[:n]), np.array(ws[:n], dtype=np.int64)
+    s = KLL(k=k).add_weighted(v, w)
+    _iv, iw = s._items()
+    assert float(iw.sum()) == float(w.sum())
+    assert s.n == int(w.sum())
