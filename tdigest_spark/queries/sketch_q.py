@@ -176,6 +176,17 @@ def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_topk_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pruned heavy hitters: top-8 document sources with
+    exact counts — the count shuffle carries only the O(partitions x m)
+    candidate set, not the full domain. Deterministic tie-break
+    (count desc, value asc) makes it hash-match the SQL top-k."""
+    from tdigest_spark.operators.topk import approx_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return approx_topk(docs, "source", k=8)
+
+
 QUERIES = {
     "sk_hll_distinct_docs": sk_hll_distinct_docs,
     "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
@@ -184,6 +195,7 @@ QUERIES = {
     "sk_cms_source_counts": sk_cms_source_counts,
     "sk_hll_global_events": sk_hll_global_events,
     "sk_hll_rollup_docs": sk_hll_rollup_docs,
+    "sk_topk_sources_docs": sk_topk_sources_docs,
 }
 
 ORACLES = {
@@ -236,5 +248,12 @@ ORACLES = {
     "sk_hll_rollup_docs": """
         SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
         FROM documents GROUP BY lang
+    """,
+    "sk_topk_sources_docs": """
+        SELECT source, cnt, rank FROM (
+          SELECT source, count(*) AS cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rank
+          FROM documents GROUP BY source
+        ) WHERE rank <= 8
     """,
 }

@@ -194,3 +194,39 @@ def test_sketch_merge_agg_rollup(spark, sf_dir):
     dg = sketch_build(docs, {"h": ("hll", "text", 12)})
     want = sketch_estimates(dg, {"nd": ("hll_estimate", "h")}).collect()[0]["nd"]
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_approx_topk_zipf_high_cardinality(spark):
+    """Candidate pruning must recover the exact top-k on a skewed
+    (Zipf-ish) high-cardinality domain, and the CMS variant must rank
+    the same heavy head."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.topk import approx_topk, cms_topk_estimates
+
+    # ~38k distinct keys, frequency ~ 1/(key+1): heavy head, long tail
+    df = spark.range(0, 400_000, 1, 8).select(
+        F.floor(F.pow(F.lit(2.0), F.pmod(F.col("id") * 2654435761, 1_000_003) % 16)).alias("bucket"),
+        (F.pmod(F.col("id") * 40503, 1 << 16)).alias("noise"),
+    ).select(
+        F.concat(F.lit("k"), (F.col("noise") % (F.col("bucket") * 37 + 1)).cast("string")).alias("key")
+    )
+    exact = (
+        df.groupBy("key").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(10).collect()
+    )
+    approx = approx_topk(df, "key", k=10).collect()
+    assert [(r["key"], r["cnt"]) for r in approx] == [
+        (r["key"], r["cnt"]) for r in exact
+    ]
+    cms = cms_topk_estimates(df, "key", k=10).collect()
+    # CMS overestimates, so near-ties at the k boundary may swap; the
+    # heavy head must still overlap strongly and bounds must hold
+    exact_counts = {
+        r["key"]: r["cnt"]
+        for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len({r["key"] for r in cms} & {r["key"] for r in exact}) >= 8
+    for r in cms:
+        true = exact_counts[r["key"]]
+        assert true <= r["est_count"] <= true + 0.0001 * 400_000 + 50
