@@ -448,6 +448,67 @@ def tdigest_histogram(
     return df.mapInPandas(evaluate, out_schema)
 
 
+def tdigest_sliding(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window_sec: int,
+    slide_sec: int,
+    by: Sequence[str] = (),
+    delta: int = 200,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Sliding event-time window digests via PANES: rows aggregate once
+    into gcd(window, slide)-sized tumbling pane digests, then each pane
+    digest is exploded to the window/slide sliding windows it belongs
+    to and merged per (window_start, keys) — the classic pane
+    optimization: raw rows are aggregated exactly once (vs the
+    window/slide-fold row duplication of ``groupBy(window(ts, w, s))``),
+    and only O(panes x delta) digest rows fan out.
+
+    Windows are epoch-aligned like Spark's ``window()``. Output:
+    (window_start timestamp, by..., digest). Exact in lossless mode
+    (digest merge is associative), within the k1 bound otherwise.
+    """
+    by = list(by)
+    pane_sec = math.gcd(int(window_sec), int(slide_sec))
+    n_win = window_sec // slide_sec
+    us = 1_000_000
+
+    # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
+    # session tz is UTC so the wall time is preserved)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = df.select(
+        F.floor(t_us / (pane_sec * us)).alias("__pane"),
+        *by,
+        F.col(value_col),
+    )
+    panes = tdigest_agg(src, value_col, by=["__pane", *by], delta=delta,
+                        digest_col=digest_col)
+
+    # windows covering pane p: starts s = k*slide with
+    # s <= p*pane_sec  and  s + window > p*pane_sec
+    pane_t = F.col("__pane") * pane_sec
+    last_start = F.floor(pane_t / slide_sec) * slide_sec
+    first_start = last_start - (n_win - 1) * slide_sec
+    exploded = panes.select(
+        F.explode(
+            F.sequence(first_start.cast("long"), last_start.cast("long"),
+                       F.lit(int(slide_sec)))
+        ).alias("__ws"),
+        *by,
+        digest_col,
+    ).where(F.col("__ws") >= 0)
+    merged = tdigest_merge_agg_sql(
+        exploded, by=["__ws", *by], digest_col=digest_col, delta=delta
+    )
+    return merged.select(
+        F.timestamp_micros((F.col("__ws") * us).cast("long")).alias("window_start"),
+        *by,
+        digest_col,
+    )
+
+
 def tdigest_describe(
     df: DataFrame, digest_col: str = "digest"
 ) -> DataFrame:

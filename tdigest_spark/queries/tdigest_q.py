@@ -201,6 +201,22 @@ def td_merge_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
+def td_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7d/1d windows via the PANE architecture: rows aggregate
+    once into daily pane digests, panes fan out to their 7 covering
+    windows and merge JVM-side — no raw-row duplication (vs the 7x
+    explode of groupBy(window(ts, 7d, 1d))). Lossless -> hash-matches
+    the exploded SQL sliding window exactly."""
+    from tdigest_spark.operators.digest_agg import tdigest_sliding
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    out = tdigest_sliding(
+        ev, "value", "ts", 7 * 86400, 86400, by=["event_type"], delta=LOSSLESS
+    )
+    stats = tdigest_stats(out, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    return _round(stats, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+
+
 def td_sql_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL query surface: digests built once into a temp view,
     then queried with registered SQL functions (tdigest_quantile /
@@ -263,6 +279,7 @@ QUERIES = {
     "td_cube_lineitem": td_cube_lineitem,
     "td_sql_surface_events": td_sql_surface_events,
     "td_merge_sql_events": td_merge_sql_events,
+    "td_sliding_events": td_sliding_events,
     "td_windowed_events": td_windowed_events,
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
 }
@@ -331,6 +348,18 @@ ORACLES = {
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "td_sliding_events": """
+        WITH r AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        e AS (SELECT unnest(generate_series(0, 6)) AS i, t, event_type, value
+              FROM r),
+        w AS (SELECT (t // 86400000000) * 86400000000 - i * 86400000000 AS ws,
+                     event_type, value
+              FROM e)
+        SELECT make_timestamp(ws) AS window_start, event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               count(value) AS n
+        FROM w GROUP BY 1, 2
     """,
     "td_merge_sql_events": """
         SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

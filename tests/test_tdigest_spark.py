@@ -273,3 +273,32 @@ def test_grouped_merge_unbiased_at_median(spark):
     )
     # true median ~500.0; greedy pandas merge showed ~-6 bias here
     assert abs(avg_p50 - 500.0) < 2.0, avg_p50
+
+
+def test_tdigest_sliding_equals_window_explode(spark, events):
+    """Pane-based sliding digests must reproduce Spark's own
+    groupBy(window(ts, w, s)) sliding semantics exactly in lossless
+    mode — same window set, counts, and medians."""
+    from tdigest_spark.operators.digest_agg import tdigest_sliding
+
+    ev = events.select("ts", "event_type", "value")
+    out = tdigest_sliding(
+        ev, "value", "ts", 7 * 86400, 86400, by=["event_type"], delta=LOSSLESS
+    )
+    res = (
+        tdigest_stats(out, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+        .toPandas()
+        .rename(columns={"window_start": "ws"})
+        .sort_values(["ws", "event_type"], ignore_index=True)
+    )
+    ref = (
+        ev.select(F.window("ts", "7 days", "1 day").alias("w"), "event_type", "value")
+        .groupBy(F.col("w.start").alias("ws"), "event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"), F.count("*").alias("n"))
+        .toPandas()
+        .sort_values(["ws", "event_type"], ignore_index=True)
+    )
+    assert len(res) == len(ref)
+    assert (res["ws"].astype(str).values == ref["ws"].astype(str).values).all()
+    np.testing.assert_allclose(res["n"].astype(float), ref["n"].astype(float))
+    np.testing.assert_allclose(res["p50"], ref["p50"], rtol=1e-12)
