@@ -472,7 +472,10 @@ def tdigest_sliding(
     """
     by = list(by)
     pane_sec = math.gcd(int(window_sec), int(slide_sec))
-    n_win = window_sec // slide_sec
+    # a pane can be covered by up to floor((window-pane)/slide)+1
+    # windows (NOT window//slide, which undercounts when window is not
+    # a multiple of slide); candidates are filtered exactly below
+    n_back = (window_sec - pane_sec) // slide_sec
     us = 1_000_000
 
     # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
@@ -486,19 +489,25 @@ def tdigest_sliding(
     panes = tdigest_agg(src, value_col, by=["__pane", *by], delta=delta,
                         digest_col=digest_col)
 
-    # windows covering pane p: starts s = k*slide with
-    # s <= p*pane_sec  and  s + window > p*pane_sec
+    # windows covering pane p (pane interval [p*pane, (p+1)*pane) lies
+    # fully inside the window because window/slide are pane multiples):
+    # starts s = k*slide with  s <= p*pane  and  s + window >= (p+1)*pane
     pane_t = F.col("__pane") * pane_sec
     last_start = F.floor(pane_t / slide_sec) * slide_sec
-    first_start = last_start - (n_win - 1) * slide_sec
+    first_start = last_start - n_back * slide_sec
     exploded = panes.select(
         F.explode(
             F.sequence(first_start.cast("long"), last_start.cast("long"),
                        F.lit(int(slide_sec)))
         ).alias("__ws"),
+        pane_t.alias("__pt"),
         *by,
         digest_col,
-    ).where(F.col("__ws") >= 0)
+    ).where(
+        # pane fully inside the window; negative (pre-epoch) starts are
+        # kept — Spark's window() emits them too
+        F.col("__ws") + window_sec >= F.col("__pt") + pane_sec
+    ).drop("__pt")
     merged = tdigest_merge_agg_sql(
         exploded, by=["__ws", *by], digest_col=digest_col, delta=delta
     )

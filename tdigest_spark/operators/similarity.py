@@ -45,8 +45,13 @@ def _dot(a, b):
 
 
 def cosine_expr(a, b, norm_a, norm_b):
-    """Cosine from precomputed norms (JVM codegen, no UDF)."""
-    return _dot(a, b) / (norm_a * norm_b)
+    """Cosine from precomputed norms (JVM codegen, no UDF). Zero-norm
+    vectors get cosine 0.0, not NaN — Spark sorts NaN ABOVE every
+    double, so an unguarded 0/0 would rank an all-zero vector as the
+    top neighbor of every query (and pass every >= threshold test)."""
+    return F.when(
+        (norm_a > 0) & (norm_b > 0), _dot(a, b) / (norm_a * norm_b)
+    ).otherwise(F.lit(0.0))
 
 
 def with_norm(df: DataFrame, vec_col: str, out_col: str = "__norm") -> DataFrame:
@@ -143,6 +148,8 @@ def train_ivf_centroids(
     sample deterministically. Returns (nlist, dim) unit-norm rows.
     """
     pdf = corpus.select(vec_col).limit(sample).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("train_ivf_centroids: corpus is empty")
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -344,16 +344,25 @@ def _probe(
     out_type,
     fn,
     by: Sequence[str] = (),
+    null_result=None,
 ) -> DataFrame:
     """Join (broadcast — sketch table is O(groups)) sketches onto probe
-    rows, then evaluate vectorized per group within each Arrow batch."""
+    rows, then evaluate vectorized per group within each Arrow batch.
+
+    Keys are stringified SPARK-side (``cast('string')``) so the probe
+    matches the build side exactly — pandas ``astype(str)`` renders
+    nullable ints/booleans/doubles differently and would produce
+    false negatives. NULL keys get ``null_result``.
+    """
     by = list(by)
+    key_str = "__probe_key"
+    probes = probes.withColumn(key_str, F.col(key_col).cast("string"))
     joined = (
         probes.join(F.broadcast(sketches.select(*by, sketch_col)), on=by)
         if by
         else probes.crossJoin(F.broadcast(sketches.select(sketch_col)))
     )
-    keep = [c for c in joined.columns if c != sketch_col]
+    keep = [c for c in joined.columns if c not in (sketch_col, key_str)]
     out_schema = T.StructType(
         [joined.schema[c] for c in keep] + [T.StructField(out_col, out_type, True)]
     )
@@ -361,12 +370,16 @@ def _probe(
     def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            res = np.empty(len(pdf), dtype=object)
+            res = np.full(len(pdf), null_result, dtype=object)
             # one deserialization per distinct blob in the batch
             blobs = pdf[sketch_col].map(bytes)
             for blob, idx in blobs.groupby(blobs, sort=False).groups.items():
                 obj = _CLS[kind].from_bytes(blob)
-                res[pdf.index.get_indexer(idx)] = fn(obj, pdf.loc[idx, key_col])
+                keys = pdf.loc[idx, key_str]
+                mask = keys.notna()
+                if mask.any():
+                    pos = pdf.index.get_indexer(keys[mask].index)
+                    res[pos] = fn(obj, keys[mask])
             out[out_col] = res
             yield out
 
@@ -385,7 +398,7 @@ def bloom_probe(
     (grouped) filters in ``sketches.sketch_col``."""
     return _probe(
         probes, sketches, "bloom", sketch_col, key_col, out_col, T.BooleanType(),
-        lambda o, s: list(o.might_contain(s.astype(str).to_numpy())), by,
+        lambda o, s: list(o.might_contain(s.to_numpy())), by, null_result=False,
     )
 
 
@@ -400,7 +413,7 @@ def cms_probe(
     """Vectorized count-min point query (est >= true count)."""
     return _probe(
         probes, sketches, "cms", sketch_col, key_col, out_col, T.LongType(),
-        lambda o, s: [int(x) for x in o.query(s.astype(str).to_numpy())], by,
+        lambda o, s: [int(x) for x in o.query(s.to_numpy())], by, null_result=0,
     )
 
 

@@ -54,23 +54,34 @@ def bloom_filter_column(
     the columns you need BEFORE calling this, or the scan reads every
     column (PLANS.md §5).
     """
+    import numpy as np
+
     blob = sketch_build(keys_df, {"b": ("bloom", keys_col, n_bits, n_hashes)}).collect()[
         0
     ]["b"]
     bf = BloomFilter.from_bytes(bytes(blob))
+    # stringify SPARK-side with the exact cast the build side used —
+    # pandas astype(str) disagrees with Spark cast for nullable ints
+    # ('123.0' vs '123'), booleans and scientific-notation doubles,
+    # which would turn into false negatives (dropped rows)
+    key_str = "__bloom_key"
+    src = df.withColumn(key_str, F.col(key_col).cast("string"))
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.BooleanType())]
+        list(src.schema.fields) + [T.StructField(out_col, T.BooleanType())]
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            # same stringification as the build side (cast to string)
-            keys = pdf[key_col].astype(str).to_numpy()
-            out[out_col] = list(bf.might_contain(keys))
+            keys = pdf[key_str]
+            mask = keys.notna().to_numpy()
+            res = np.zeros(len(pdf), dtype=bool)  # NULL key: not a member
+            if mask.any():
+                res[mask] = bf.might_contain(keys[mask].to_numpy())
+            out[out_col] = res
             yield out
 
-    return df.mapInPandas(probe, out_schema)
+    return src.mapInPandas(probe, out_schema).drop(key_str)
 
 
 def bloom_semijoin(
@@ -87,7 +98,6 @@ def bloom_semijoin(
     Because Bloom never misses a present key, the result is EXACTLY the
     plain join's result; only the (shuffle) volume changes.
     """
-    large = large.withColumn(on, F.col(on).cast(large.schema[on].dataType))
     filtered = bloom_filter_column(
         large, on, small.select(on), on, n_bits=n_bits, n_hashes=n_hashes
     )

@@ -95,7 +95,13 @@ class KLL:
         v = np.asarray(values, dtype=np.float64).ravel()
         w = np.asarray(weights, dtype=np.float64).ravel()
         ok = ~np.isnan(v) & ~np.isnan(w) & (w >= 1)
-        v, w = v[ok], w[ok].astype(np.int64)
+        v, w = v[ok], w[ok]
+        if not np.all(w == np.floor(w)):
+            raise ValueError(
+                "KLL.add_weighted requires integer weights "
+                "(fractional weight found — scale weights up instead)"
+            )
+        w = w.astype(np.int64)
         if v.size == 0:
             return self
         for h in range(int(w.max()).bit_length()):

@@ -311,7 +311,9 @@ class TDigest:
         tw = self.total_weight
         if self.size == 1:
             return float(self.means[0])
-        t = np.clip(q, 0.0, 1.0) * (tw - 1.0) + 0.5
+        # max(tw-1, 0): with fractional weights tw can be < 1, and a
+        # negative slope would invert the q -> value mapping
+        t = np.clip(q, 0.0, 1.0) * max(tw - 1.0, 0.0) + 0.5
         xs = np.concatenate(([0.0], self._centers(), [tw]))
         ys = np.concatenate(([self.vmin], self.means, [self.vmax]))
         return float(np.interp(t, xs, ys))
@@ -322,7 +324,7 @@ class TDigest:
         tw = self.total_weight
         if self.size == 1:
             return np.full(len(qs), float(self.means[0]))
-        t = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * (tw - 1.0) + 0.5
+        t = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * max(tw - 1.0, 0.0) + 0.5
         xs = np.concatenate(([0.0], self._centers(), [tw]))
         ys = np.concatenate(([self.vmin], self.means, [self.vmax]))
         return np.interp(t, xs, ys)

@@ -240,22 +240,36 @@ def digest_sink(
     delta: int = 200,
 ):
     """foreachBatch sink: merge each micro-batch into a digest parquet
-    table (read-merge-overwrite per batch; batch ids make the merge
-    idempotent on restart). Returns the StreamingQuery."""
+    table (read-merge-overwrite per batch). A sidecar meta file records
+    the last merged batch id, making replays after a crash-between-
+    commit-and-checkpoint idempotent (the re-delivered batch is
+    skipped); a missing table is detected explicitly via the sidecar,
+    never by swallowing read errors (a transient read failure must
+    fail the batch, not silently reset history). Returns the
+    StreamingQuery."""
+    import json
+    import os
+
     from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_merge_agg
 
     by = list(by)
+    meta_path = f"{table_dir}._meta.json"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
-        try:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if batch_id <= json.load(f)["last_batch"]:
+                    return  # replayed batch: already merged
             old = spark.read.parquet(table_dir)
+            new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
             merged = tdigest_merge_agg(old.unionByName(new), by=by)
-        except Exception:  # first batch: no table yet
-            merged = new
+        else:
+            merged = tdigest_agg(batch_df, value_col, by=by, delta=delta)
         merged.write.mode("overwrite").parquet(f"{table_dir}.tmp")
         spark.read.parquet(f"{table_dir}.tmp").write.mode("overwrite").parquet(table_dir)
+        with open(meta_path, "w") as f:
+            json.dump({"last_batch": batch_id}, f)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -190,3 +190,30 @@ def test_bloom_semijoin_exact_and_pruning(spark, sf_dir):
     # keys of ~2/25 nations: the filter must prune most of the fact side
     assert n_pass < n_total * 0.5
     assert n_pass >= plain  # no false negatives
+
+
+def test_bloom_probe_nullable_int_keys(spark):
+    """Regression: probe keys must stringify Spark-side — a NULL in the
+    batch used to coerce pandas ints to float ('123.0' vs '123') and
+    false-negatively drop every row of the batch."""
+    from tdigest_spark.operators.sketch_join import bloom_semijoin
+
+    large = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1,), (3,)], "k long")
+    got = sorted(r["v"] for r in bloom_semijoin(large, small, "k").collect())
+    assert got == ["a", "d"]
+
+
+def test_cosine_zero_norm_vector_ranks_last(spark):
+    """Regression: an all-zero embedding must get cosine 0, not NaN
+    (Spark sorts NaN first, which made it everyone's top neighbor)."""
+    from tdigest_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+    ranked = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1  # closest direction
+    assert ranked[-1] == 2  # zero vector last, not first

@@ -233,3 +233,20 @@ def test_extreme_weights_stability():
     m = big.merge(a)
     assert m.mean() == pytest.approx(1.5, rel=1e-9)
     m.validate()
+
+
+def test_quantile_monotone_with_fractional_total_weight():
+    """Regression: total_weight < 1 (fractional weights) used to invert
+    the q -> value mapping (negative interpolation slope)."""
+    d = TDigest.from_values(
+        np.array([1.0, 2.0]), 1_000_000, weights=np.array([0.3, 0.3])
+    )
+    qs = [d.quantile(q) for q in (0.0, 0.25, 0.5, 0.75, 1.0)]
+    assert all(b >= a for a, b in zip(qs, qs[1:])), qs
+
+
+def test_kll_weighted_rejects_fractional_weights():
+    from tdigest_spark.sketch.kll import KLL
+
+    with pytest.raises(ValueError, match="integer weights"):
+        KLL(k=100).add_weighted([1.0, 2.0], [2.9, 1.5])

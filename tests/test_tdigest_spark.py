@@ -302,3 +302,28 @@ def test_tdigest_sliding_equals_window_explode(spark, events):
     assert (res["ws"].astype(str).values == ref["ws"].astype(str).values).all()
     np.testing.assert_allclose(res["n"].astype(float), ref["n"].astype(float))
     np.testing.assert_allclose(res["p50"], ref["p50"], rtol=1e-12)
+
+
+def test_tdigest_sliding_window_not_multiple_of_slide(spark):
+    """Regression: window=10s, slide=4s (gcd pane 2s) — every window
+    must include every covered pane (the old n_win=window//slide
+    under-enumeration dropped panes from some windows)."""
+    from tdigest_spark.operators.digest_agg import tdigest_sliding
+
+    rows = [(float(t), float(t)) for t in range(0, 40)]
+    df = spark.createDataFrame(rows, "off double, value double").select(
+        F.timestamp_seconds(F.col("off")).alias("ts"), "value"
+    )
+    out = tdigest_sliding(df, "value", "ts", 10, 4, delta=1_000_000)
+    res = {
+        r["window_start"].timestamp(): r["n"]
+        for r in tdigest_stats(out, {"n": ("total_weight",)}).collect()
+    }
+    ref = (
+        df.select(F.window("ts", "10 seconds", "4 seconds").alias("w"), "value")
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ref = {r["ws"].timestamp(): r["n"] for r in ref}
+    assert res == {k: float(v) for k, v in ref.items()}
