@@ -456,6 +456,45 @@ class TDigest:
             "delta": int(self.delta),
         }
 
+    def to_bytes(self) -> bytes:
+        """Compact binary codec (the reference's ``Binary`` instance,
+        ``Tree/Internal.hs:84-89``): header + packed centroid arrays.
+        ~40% of the parquet-struct footprint for blob checkpoints and
+        non-Spark interchange; the struct row stays the primary wire
+        format."""
+        import struct as _struct
+
+        head = _struct.pack(
+            "<4sIqddd",
+            b"TDG1",
+            int(self.delta),
+            int(self.size),
+            float(self.total_weight),
+            float(self.vmin) if self.total_weight else math.nan,
+            float(self.vmax) if self.total_weight else math.nan,
+        )
+        body = (
+            np.ascontiguousarray(self.means, dtype=np.float64).tobytes()
+            + np.ascontiguousarray(self.weights, dtype=np.float64).tobytes()
+        )
+        return head + body
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        import struct as _struct
+
+        hsize = _struct.calcsize("<4sIqddd")
+        magic, delta, n, tw, vmin, vmax = _struct.unpack("<4sIqddd", b[:hsize])
+        assert magic == b"TDG1", "bad TDigest blob"
+        if n == 0 or tw == 0.0:
+            return cls.empty(delta)
+        means = np.frombuffer(b[hsize : hsize + 8 * n], dtype=np.float64).copy()
+        weights = np.frombuffer(b[hsize + 8 * n : hsize + 16 * n], dtype=np.float64).copy()
+        return cls(
+            means=means, weights=weights, total_weight=tw,
+            vmin=vmin, vmax=vmax, delta=delta,
+        )
+
     @classmethod
     def from_row(cls, row) -> "TDigest":
         if row is None:

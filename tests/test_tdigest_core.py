@@ -250,3 +250,20 @@ def test_kll_weighted_rejects_fractional_weights():
 
     with pytest.raises(ValueError, match="integer weights"):
         KLL(k=100).add_weighted([1.0, 2.0], [2.9, 1.5])
+
+
+def test_binary_codec_roundtrip():
+    """Compact blob codec parity with the reference's Binary instance
+    (Tree/Internal.hs:84-89): round trip preserves queries exactly."""
+    d = TDigest.from_values(np.random.default_rng(3).normal(0, 1, 50_000), 200)
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert d2.total_weight == d.total_weight
+    assert (d2.vmin, d2.vmax, d2.delta) == (d.vmin, d.vmax, d.delta)
+    for q in (0.01, 0.5, 0.99):
+        assert d2.quantile(q) == d.quantile(q)
+    blob = d.to_bytes()
+    assert len(blob) < 16 * d.size + 64  # compact: header + 2 arrays
+    # empty digest round trip
+    e = TDigest.empty(123)
+    e2 = TDigest.from_bytes(e.to_bytes())
+    assert e2.is_empty() and e2.delta == 123
