@@ -359,9 +359,18 @@ class TDigest:
             return 1.0
         xs = np.concatenate(([self.vmin], m, [self.vmax]))
         ts = np.concatenate(([0.0], centers, [tw]))
-        # np.interp needs increasing xp; dedupe exact ties conservatively
-        keep = np.concatenate(([True], np.diff(xs) > 0))
-        return float(np.interp(x, xs[keep], ts[keep]) / tw)
+        # tied node positions are atoms where the cdf JUMPS (e.g. vmin
+        # equal to the first centroid mean): the segment leaving an atom
+        # must start at its UPPER rank and arrive at the next atom's
+        # LOWER rank, or the curve dips below the mid-rank value the
+        # equals-branch above returns (non-monotone cdf)
+        ux, first_idx = np.unique(xs, return_index=True)
+        last_idx = np.searchsorted(xs, ux, side="right") - 1
+        t_hi = ts[last_idx]
+        t_lo = ts[first_idx]
+        k = int(np.searchsorted(ux, x)) - 1  # x strictly inside (ux[k], ux[k+1])
+        frac = (x - ux[k]) / (ux[k + 1] - ux[k])
+        return float((t_hi[k] + frac * (t_lo[k + 1] - t_hi[k])) / tw)
 
     def mean(self) -> float | None:
         """Exactly preserved under merging (weighted-mean identity),

@@ -107,3 +107,47 @@ def test_kll_weighted_conservation(xs, ws, k):
     _iv, iw = s._items()
     assert float(iw.sum()) == float(w.sum())
     assert s.n == int(w.sum())
+
+
+# ---------------------------------------------------------------- HLL / Bloom / CMS
+from tdigest_spark.sketch.bloom import BloomFilter
+from tdigest_spark.sketch.cms import CountMin
+from tdigest_spark.sketch.hll import HLL
+
+keys = st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=200)
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys, keys)
+def test_hll_merge_equals_union(xs, ys):
+    """HLL register-max merge == sketching the union (order-free)."""
+    a = HLL(10).add(np.array(xs, dtype=object))
+    b = HLL(10).add(np.array(ys, dtype=object))
+    u = HLL(10).add(np.array(xs + ys, dtype=object))
+    assert a.merge(b).estimate() == u.estimate()
+    assert b.merge(a).estimate() == u.estimate()  # commutative
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys, keys)
+def test_bloom_no_false_negatives_property(xs, ys):
+    bf = BloomFilter(n_bits=1 << 14, n_hashes=5).add(np.array(xs, dtype=object))
+    assert bf.might_contain(np.array(xs, dtype=object)).all()
+    m = bf.merge(BloomFilter(n_bits=1 << 14, n_hashes=5).add(np.array(ys, dtype=object)))
+    assert m.might_contain(np.array(xs + ys, dtype=object)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys)
+def test_cms_one_sided_property(xs):
+    """CMS estimates never undercount; merge preserves totals."""
+    from collections import Counter
+
+    cm = CountMin.for_error(eps=0.01, delta=0.01)
+    uniq, cnt = np.unique(np.array(xs, dtype=object), return_counts=True)
+    cm.add(uniq, cnt)
+    true = Counter(xs)
+    est = cm.query(uniq)
+    for v, e in zip(uniq, est):
+        assert e >= true[v]
+    assert cm.total == len(xs)
