@@ -184,10 +184,17 @@ class KLL:
         if x > self.vmax:
             return 1.0
         centers = np.cumsum(w) - w / 2.0
-        keep = np.concatenate(([True], np.diff(v) > 0))
-        xs = np.concatenate(([self.vmin], v[keep], [self.vmax]))
-        ts = np.concatenate(([0.0], centers[keep], [tw]))
-        return float(np.interp(x, xs, ts) / tw)
+        xs = np.concatenate(([self.vmin], v, [self.vmax]))
+        ts = np.concatenate(([0.0], centers, [tw]))
+        # tied positions are atoms with a cdf jump: leave an atom at its
+        # UPPER rank, arrive at the next at its LOWER rank (same
+        # monotonicity fix as TDigest.cdf)
+        ux, first_idx = np.unique(xs, return_index=True)
+        last_idx = np.searchsorted(xs, ux, side="right") - 1
+        t_hi, t_lo = ts[last_idx], ts[first_idx]
+        k = int(np.searchsorted(ux, x)) - 1
+        frac = (x - ux[k]) / (ux[k + 1] - ux[k])
+        return float((t_hi[k] + frac * (t_lo[k + 1] - t_hi[k])) / tw)
 
     def size(self) -> int:
         return int(sum(lv.size for lv in self.levels))

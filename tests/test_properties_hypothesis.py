@@ -151,3 +151,13 @@ def test_cms_one_sided_property(xs):
     for v, e in zip(uniq, est):
         assert e >= true[v]
     assert cm.total == len(xs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=200), st.integers(8, 64))
+def test_kll_cdf_is_monotone(xs, k):
+    s = KLL(k=k).add(np.array(xs))
+    probes = np.linspace(s.vmin - 1.0, s.vmax + 1.0, 25)
+    cdfs = [s.cdf(float(x)) for x in probes]
+    assert all(b >= a - 1e-12 for a, b in zip(cdfs, cdfs[1:]))
+    assert cdfs[0] == 0.0 and cdfs[-1] == 1.0
