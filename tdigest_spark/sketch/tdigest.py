@@ -372,6 +372,21 @@ class TDigest:
         frac = (x - ux[k]) / (ux[k + 1] - ux[k])
         return float((t_hi[k] + frac * (t_lo[k + 1] - t_hi[k])) / tw)
 
+    def density_histogram(self) -> list[tuple[float, float, float]]:
+        """Density-normalized bins for plotting — the data behind
+        tdigest-Chart's histogram render (bar height ``w/(hi-lo)/tw``,
+        ``tdigest-Chart/src/.../TDigest.hs:86-89,134-147``), without
+        any chart dependency: (lo, hi, density) per bin, integrating
+        to 1. Pairs with ``quantile``/``mean``/``stddev`` for the
+        chart's quantile verticals and mean±k*sigma lines (:91-125).
+        """
+        tw = self.total_weight
+        out = []
+        for lo, hi, _mid, w, _cw in self.histogram():
+            width = hi - lo
+            out.append((lo, hi, w / width / tw if width > 0 else math.inf))
+        return out
+
     def mean(self) -> float | None:
         """Exactly preserved under merging (weighted-mean identity),
         cf. ``Postprocess/Internal.hs:113-127``."""

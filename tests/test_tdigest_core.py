@@ -267,3 +267,13 @@ def test_binary_codec_roundtrip():
     e = TDigest.empty(123)
     e2 = TDigest.from_bytes(e.to_bytes())
     assert e2.is_empty() and e2.delta == 123
+
+
+def test_density_histogram_integrates_to_one():
+    """tdigest-Chart parity (TDigest.hs:86-89): density bars integrate
+    to 1 and are non-negative."""
+    d = TDigest.from_values(np.random.default_rng(5).normal(0, 1, 20_000), 100)
+    bins = d.density_histogram()
+    total = sum((hi - lo) * dens for lo, hi, dens in bins if hi > lo)
+    assert total == pytest.approx(1.0, rel=1e-9)
+    assert all(dens >= 0 for _, _, dens in bins)
