@@ -32,49 +32,74 @@ from pyspark.sql import types as T
 __all__ = ["approx_topk", "cms_topk_estimates"]
 
 
-def _local_candidates(df: DataFrame, key_col: str, m: int) -> DataFrame:
-    """Distinct union of per-partition top-m values of ``key_col``."""
-    src = df.select(F.col(key_col).cast("string").alias(key_col))
-    out_schema = T.StructType([T.StructField(key_col, T.StringType())])
+def _local_candidates(
+    df: DataFrame, key_col: str, m: int, by: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct union of per-partition top-m values of ``key_col``
+    (per ``by`` group when given)."""
+    by = list(by)
+    src = df.select(*by, F.col(key_col).cast("string").alias(key_col))
+    out_schema = T.StructType(
+        [src.schema[c] for c in by] + [T.StructField(key_col, T.StringType())]
+    )
 
     def tops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[str, int] = {}
+        counts: dict[tuple, dict[str, int]] = {}
         for pdf in batches:
-            for v, c in pdf[key_col].dropna().value_counts().items():
-                counts[v] = counts.get(v, 0) + int(c)
+            groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+            for g_key, g in groups:
+                g_key = g_key if isinstance(g_key, tuple) else (g_key,)
+                c = counts.setdefault(g_key, {})
+                for v, n in g[key_col].dropna().value_counts().items():
+                    c[v] = c.get(v, 0) + int(n)
         if not counts:
             return
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
-        yield pd.DataFrame({key_col: [v for v, _ in top]})
+        data: dict[str, list] = {c: [] for c in by}
+        data[key_col] = []
+        for g_key, c in counts.items():
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+            for v, _ in top:
+                for col, kv in zip(by, g_key):
+                    data[col].append(kv)
+                data[key_col].append(v)
+        yield pd.DataFrame(data)
 
     return src.mapInPandas(tops, out_schema).distinct()
 
 
 def approx_topk(
-    df: DataFrame, key_col: str, k: int = 10, m: int | None = None
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    m: int | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """Top-k most frequent values of ``key_col`` with EXACT counts,
-    candidate-pruned so the count aggregation only shuffles rows whose
-    value is in the O(partitions x m) candidate set.
+    """Top-k most frequent values of ``key_col`` with EXACT counts —
+    per ``by`` group when given — candidate-pruned so the count
+    aggregation only shuffles rows whose value is in the
+    O(partitions x groups x m) candidate set.
 
-    Output: (key_col string, cnt long, rank int), rank 1..k, ties
-    broken by value ascending (deterministic).
+    Output: (by..., key_col string, cnt long, rank int), rank 1..k per
+    group, ties broken by value ascending (deterministic).
     """
+    by = list(by)
     m = m or max(4 * k, 64)
-    cand = _local_candidates(df, key_col, m)
+    cand = _local_candidates(df, key_col, m, by=by)
     exact = (
-        df.select(F.col(key_col).cast("string").alias(key_col))
-        .join(F.broadcast(cand), key_col)
-        .groupBy(key_col)
+        df.select(*by, F.col(key_col).cast("string").alias(key_col))
+        .join(F.broadcast(cand), [*by, key_col])
+        .groupBy(*by, key_col)
         .agg(F.count("*").alias("cnt"))
     )
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    w = W.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    )
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(key_col, "cnt", "rank")
+        .select(*by, key_col, "cnt", "rank")
     )
 
 

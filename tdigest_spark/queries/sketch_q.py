@@ -187,6 +187,14 @@ def sk_topk_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_topk(docs, "source", k=8)
 
 
+def sk_topk_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: top-3 sources per lang, exact counts."""
+    from tdigest_spark.operators.topk import approx_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return approx_topk(docs, "source", k=3, by=["lang"])
+
+
 QUERIES = {
     "sk_hll_distinct_docs": sk_hll_distinct_docs,
     "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
@@ -196,6 +204,7 @@ QUERIES = {
     "sk_hll_global_events": sk_hll_global_events,
     "sk_hll_rollup_docs": sk_hll_rollup_docs,
     "sk_topk_sources_docs": sk_topk_sources_docs,
+    "sk_topk_sources_by_lang": sk_topk_sources_by_lang,
 }
 
 ORACLES = {
@@ -255,5 +264,13 @@ ORACLES = {
                  row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rank
           FROM documents GROUP BY source
         ) WHERE rank <= 8
+    """,
+    "sk_topk_sources_by_lang": """
+        SELECT lang, source, cnt, rank FROM (
+          SELECT lang, source, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY count(*) DESC, source ASC) AS rank
+          FROM documents GROUP BY lang, source
+        ) WHERE rank <= 3
     """,
 }
