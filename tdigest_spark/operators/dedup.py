@@ -202,6 +202,56 @@ def simhash_signatures(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate CLUSTERS from a near-dup pair list (id_a, id_b):
+    assigns every node the MINIMUM id reachable from it (transitive
+    closure), i.e. connected components by iterated min-label
+    propagation — each round joins every node's current label with its
+    neighbors' and keeps the min, converging in O(log(diameter))
+    rounds (large-star/small-star style; near-dup graphs are
+    overwhelmingly tiny cliques, so 2-3 rounds typically suffice).
+
+    Returns (id, component) with component = min id of the cluster;
+    singletons (ids not in any pair) are absent — union them in from
+    the corpus if needed. The keep-one-per-cluster policy is then
+    ``where(id != component)`` = drop list.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    # label(u) = min(u, min neighbor), iterate to fixpoint
+    labels = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least(F.col("u"), F.col("mv")).alias("c")
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("c").alias("nc"))
+        )
+        new_labels = (
+            labels.join(prop, "u", "left")
+            .select("u", F.least("c", F.coalesce("nc", "c")).alias("c"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.c") != F.col("o.c"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("c").alias("component"))
+
+
 def simhash_pairs(
     sigs: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
 ) -> DataFrame:

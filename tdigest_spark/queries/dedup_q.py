@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tdigest_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_verify,
     minhash_dedup_pairs,
@@ -123,6 +124,20 @@ def dd_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: transitive closure of the verified MinHash
+    near-dup pairs via distributed min-label propagation — every member
+    labeled with its cluster's min doc_id (the keep-one survivor).
+    Oracle: recursive CTE over the exhaustive SQL pair graph."""
+    corpus = _augmented(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, shingle_k=3, n_hashes=64, bands=16
+    )
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 QUERIES = {
     "dd_exact_stats": dd_exact_stats,
     "dd_exact_survivors": dd_exact_survivors,
@@ -130,6 +145,7 @@ QUERIES = {
     "dd_ngram_jaccard_known_pairs": dd_ngram_jaccard_known_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_simhash_exact_pairs": dd_simhash_exact_pairs,
+    "dd_dup_clusters": dd_dup_clusters,
 }
 
 _SHINGLE_SQL = """
@@ -188,6 +204,34 @@ ORACLES = {
         FROM inter
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
+    """,
+    "dd_dup_clusters": f"""
+        WITH RECURSIVE
+        corpus AS ({_AUG_SQL}),
+        sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes na ON na.doc_id = id_a
+          JOIN sizes nb ON nb.doc_id = id_b
+          WHERE c / (na.n + nb.n - c) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS component
+        FROM reach GROUP BY u
     """,
     # dd_simhash_pairs: intentionally no oracle (engine-specific hash)
     "dd_simhash_exact_pairs": f"""

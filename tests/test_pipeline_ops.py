@@ -217,3 +217,17 @@ def test_cosine_zero_norm_vector_ranks_last(spark):
     ranked = [r["vec_id"] for r in out.orderBy("rank").collect()]
     assert ranked[0] == 1  # closest direction
     assert ranked[-1] == 2  # zero vector last, not first
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must close transitive chains (path graph
+    needs multiple rounds) and cliques into single components."""
+    from tdigest_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, isolated pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
