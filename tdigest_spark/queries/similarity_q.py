@@ -57,10 +57,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate clusters: LSH near-dup pairs closed into
+    components (min-vec_id label), the embedding-side keep-one policy.
+    Oracle: recursive CTE over the exhaustive cosine>=0.999 graph."""
+    from tdigest_spark.operators.dedup import connected_components
+
+    corpus = _augmented(spark, sf_dir)
+    pairs = lsh_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+
+
 QUERIES = {
     "sim_topk_exact": sim_topk_exact,
     "sim_lsh_neardup": sim_lsh_neardup,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_dup_clusters": sim_dup_clusters,
 }
 
 ORACLES = {
@@ -95,6 +109,31 @@ ORACLES = {
         )
         SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= 3
+    """,
+    "sim_dup_clusters": """
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding::DOUBLE[], x -> x * 2.0)
+          FROM embeddings WHERE vec_id % 9 = 0
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        )
+        SELECT u AS vec_id, least(u, min(v)) AS component
+        FROM reach GROUP BY u
     """,
     "sim_lsh_neardup": """
         WITH corpus AS (
