@@ -21,6 +21,7 @@ _FAMILIES = (
     "text_q",
     "similarity_q",
     "multimodal_q",
+    "pipeline_q",
 )
 
 
