@@ -36,7 +36,6 @@ from tdigest_spark.operators.digest_agg import (
     tdigest_merge_agg,
     tdigest_stats,
 )
-from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
 from tdigest_spark.sources.catalog import read_table, write_table
 from tdigest_spark.sources.webpages import synth_webpages
 
