@@ -209,14 +209,24 @@ def connected_components(
     assigns every node the MINIMUM id reachable from it (transitive
     closure), i.e. connected components by iterated min-label
     propagation — each round joins every node's current label with its
-    neighbors' and keeps the min, converging in O(log(diameter))
-    rounds (large-star/small-star style; near-dup graphs are
-    overwhelmingly tiny cliques, so 2-3 rounds typically suffice).
+    neighbors' and keeps the min.
 
     Returns (id, component) with component = min id of the cluster;
     singletons (ids not in any pair) are absent — union them in from
     the corpus if needed. The keep-one-per-cluster policy is then
     ``where(id != component)`` = drop list.
+
+    Convergence: plain min-label propagation needs O(component
+    diameter) rounds (near-dup graphs are overwhelmingly tiny cliques,
+    so 2-3 rounds typically suffice); a graph with a path longer than
+    ``max_iters`` would exit early with SPLIT components, so that case
+    raises instead of returning silently wrong clusters.
+
+    Iteration hygiene (what makes 20+ rounds survive at scale): each
+    round's labels are eagerly localCheckpoint'ed — lineage is
+    truncated every round, so the plan never grows, and the superseded
+    round's blocks are released immediately (executor storage stays
+    O(|labels|), not O(rounds x |labels|)).
     """
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -228,6 +238,8 @@ def connected_components(
     labels = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least(F.col("u"), F.col("mv")).alias("c")
     )
+    labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -238,6 +250,9 @@ def connected_components(
             labels.join(prop, "u", "left")
             .select("u", F.least("c", F.coalesce("nc", "c")).alias("c"))
         )
+        # eager checkpoint: truncates lineage (constant-size plan per
+        # round) and materializes, so the superseded RDD can be freed
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
@@ -245,20 +260,45 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.persist()
+        # superseded round: dropping the only reference makes its
+        # checkpoint blocks ContextCleaner-collectable (unlike
+        # .persist(), whose CacheManager entry lives until the session
+        # ends — the round-1 leak)
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); raise max_iters "
+            "or pre-contract the graph"
+        )
     return labels.select(F.col("u").alias("id"), F.col("c").alias("component"))
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3, chunks: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the
     pigeonhole trick: split 64 bits into ``chunks`` 16-bit blocks; any
     pair within distance <= chunks-1 shares at least one exact block ->
     bucket-join on (block_idx, block_value), verify with bit_count(xor).
+
+    Blocks whose bucket exceeds ``max_bucket`` rows are dropped before
+    the self-join — the same degenerate-content guard as
+    :func:`lsh_candidate_pairs`: a templated/near-empty corpus collapses
+    many docs onto a few block values (e.g. simhash 0) and an unguarded
+    self-join goes quadratic. Recall caveat: a true near-dup pair whose
+    EVERY shared block is oversized is missed; with ``max_hamming <
+    chunks`` a pair shares >= chunks - max_hamming blocks, so it is
+    dropped only when all of those are degenerate — in which case the
+    docs are boilerplate a dedup pipeline drops by other means anyway.
     """
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     width = 64 // chunks
@@ -277,6 +317,10 @@ def simhash_pairs(
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bb")
     ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    w = Window.partitionBy("blk", "bv")
+    banded = banded.withColumn("__bsz", F.count("*").over(w)).where(
+        F.col("__bsz") <= max_bucket
+    ).drop("__bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -48,6 +48,23 @@ _VALUE = "__td_value"
 _WEIGHT = "__td_weight"
 _SALT = "__td_salt"
 
+# auto-insert an intermediate merge level once the single final reduce
+# would see more than this many partial digests (one per partition for
+# a global sketch): above it, the one task's deserialize-everything
+# cost dominates; below it, the extra stage costs more than it saves
+AUTO_SALT_PARTIALS = 512
+
+
+def _auto_salt(partials: DataFrame) -> int | None:
+    """Balanced two-level fan-in (sqrt of the partial count) when the
+    final single-task reduce would otherwise be the bottleneck — e.g.
+    1e6 input partitions become 1000-way then 1000-way merges. Partition
+    count is read from the physical plan (no job is run)."""
+    n = partials.rdd.getNumPartitions()
+    if n > AUTO_SALT_PARTIALS:
+        return max(2, math.isqrt(n))
+    return None
+
 
 def _merge_rows(rows: Sequence, compress: bool = True) -> dict:
     d = TDigest.merge_all([TDigest.from_row(r) for r in rows])
@@ -73,10 +90,14 @@ def tdigest_agg(
     Returns a DataFrame ``by... , digest_col struct`` with exactly one
     row per group (one row total when ``by`` is empty).
 
-    ``salt``: optional intermediate merge fan-in for groups whose
-    partial count is huge (e.g. 1e5 input partitions) or whose keys are
-    skewed — partials are first merged within ``hash(partition) % salt``
-    buckets, then across buckets (two-level tree merge).
+    ``salt``: intermediate merge fan-in for groups whose partial count
+    is huge (e.g. 1e5 input partitions) or whose keys are skewed —
+    partials are first merged within ``hash(partition) % salt``
+    buckets, then across buckets (two-level tree merge). ``None``
+    (default) = automatic for GLOBAL sketches: when the partial count
+    exceeds ``AUTO_SALT_PARTIALS`` a balanced sqrt-fan-in level is
+    inserted, so a million-partition scan never funnels a million
+    structs into one final task. Pass ``0`` to force single-level.
 
     ``merge_engine`` (grouped only): ``"sql"`` (default — pure JVM
     expression merge, ~10x faster at thousands of groups AND measured
@@ -129,6 +150,8 @@ def tdigest_agg(
         out[digest_col] = [_merge_rows(list(pdf[digest_col]))]
         return pd.DataFrame(out)
 
+    if salt is None and not by:
+        salt = _auto_salt(partials)
     if salt:
         salted_schema = T.StructType(
             [T.StructField(_SALT, T.IntegerType(), False)] + list(out_schema.fields)
@@ -169,13 +192,19 @@ def tdigest_agg(
 
 
 def tdigest_merge_agg(
-    df: DataFrame, by: Sequence[str] = (), digest_col: str = "digest"
+    df: DataFrame,
+    by: Sequence[str] = (),
+    digest_col: str = "digest",
+    salt: int | None = None,
 ) -> DataFrame:
     """Merge an existing digest column (the reference's ``<>``/``mconcat``,
     ``Tree/Internal.hs:143-153``): one merged digest per group.
 
     Same partial/final shape as :func:`tdigest_agg` — partition-local
     merges first, so only one digest per (partition x group) shuffles.
+    ``salt`` as in :func:`tdigest_agg`: ``None`` auto-inserts a sqrt
+    intermediate level for GLOBAL merges over many partitions, ``0``
+    forces single-level.
     """
     by = list(by)
     out_schema = T.StructType(
@@ -212,6 +241,13 @@ def tdigest_merge_agg(
 
     if by:
         return partials.groupBy(*by).applyInPandas(final, out_schema)
+    if salt is None:
+        salt = _auto_salt(partials)
+    if salt:
+        # intermediate level: partial_merge is idempotent over digest
+        # rows, so re-running it after a salt-width repartition merges
+        # each bucket down to one struct before the final reduce
+        partials = partials.repartition(salt).mapInPandas(partial_merge, out_schema)
     return partials.repartition(1).mapInPandas(
         lambda it: iter(
             [

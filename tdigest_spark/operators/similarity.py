@@ -112,7 +112,6 @@ def with_lsh_bucket(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
-    dim = None  # inferred from first batch
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = None
@@ -267,12 +266,25 @@ def lsh_neardup_pairs(
     vec_col: str,
     threshold: float = 0.999,
     planes: int = 16,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold via LSH bucketing +
     exact in-bucket verification. Vectors within angle theta collide
     with prob (1 - theta/pi)^planes; at threshold ~1 (theta ~ 0) the
-    planted-duplicate recall is 1 by construction."""
+    planted-duplicate recall is 1 by construction.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (same guard as the MinHash/SimHash paths): a degenerate corpus —
+    e.g. many all-zero or identical embeddings — collapses into one
+    sign bucket and the in-bucket verification goes quadratic. Recall
+    caveat: pairs living ONLY in an oversized bucket are missed; such
+    buckets are exactly the degenerate mass a near-dup pass should
+    handle by exact dedup instead."""
     b = with_lsh_bucket(with_norm(df, vec_col), vec_col, planes)
+    w = Window.partitionBy("bucket")
+    b = b.withColumn("__bsz", F.count("*").over(w)).where(
+        F.col("__bsz") <= max_bucket
+    ).drop("__bsz")
     a_side = b.select(
         F.col(id_col).alias("id_a"), F.col("bucket"),
         F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"),

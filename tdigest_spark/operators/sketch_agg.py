@@ -215,7 +215,22 @@ def sketch_build(
         if chunks:
             yield merge_partials(pd.concat(chunks, ignore_index=True))
 
-    return partials.repartition(1).mapInPandas(merge_global, out_schema)
+    return _global_reduce(partials, merge_global, out_schema)
+
+
+def _global_reduce(partials: DataFrame, merge_fn, out_schema) -> DataFrame:
+    """Single-row global reduce with an AUTOMATIC intermediate level
+    when the partial count is large (same policy as
+    ``digest_agg._auto_salt``): blobs merge associatively, so an extra
+    sqrt-fan-in ``repartition(s) -> merge`` level bounds the final
+    task's input at O(sqrt(partitions)) blobs instead of one blob per
+    input partition."""
+    from tdigest_spark.operators.digest_agg import _auto_salt
+
+    s = _auto_salt(partials)
+    if s:
+        partials = partials.repartition(s).mapInPandas(merge_fn, out_schema)
+    return partials.repartition(1).mapInPandas(merge_fn, out_schema)
 
 
 def sketch_merge_agg(
@@ -286,7 +301,7 @@ def sketch_merge_agg(
         if chunks:
             yield final(pd.concat(chunks, ignore_index=True))
 
-    return partials.repartition(1).mapInPandas(final_global, out_schema)
+    return _global_reduce(partials, final_global, out_schema)
 
 
 _EST_FNS = {

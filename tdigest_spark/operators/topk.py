@@ -5,11 +5,14 @@ one row per DISTINCT value — fine for small domains, a full-shuffle
 bottleneck at 100 TB of high-cardinality keys. The sketch plan bounds
 the shuffle at O(partitions x m):
 
-  1. per-partition local top-m candidates (vectorized value_counts —
-     a candidate that is in the global top-k must be in SOME
-     partition's local top-m; with m >= k the union of local tops
-     contains every value whose count exceeds ~N/(m·partitions),
-     the standard SpaceSaving-style guarantee);
+  1. per-partition local top-m candidates from a BOUNDED Misra-Gries
+     summary (capacity 8m counters per partition-group — memory is
+     O(m), NOT O(distinct), so a 100 TB high-cardinality key column
+     cannot OOM the Python worker); any value whose partition count
+     exceeds N_part/(8m+1) provably survives the summary, so the
+     union of local tops contains every value whose global count
+     exceeds ~N/(m·partitions) — the standard frequent-items
+     admission guarantee;
   2. count the candidates EXACTLY with a second aggregation
      restricted to the (broadcast) candidate set — the counts are
      exact, only candidate membership is approximate;
@@ -31,13 +34,44 @@ from pyspark.sql import types as T
 
 __all__ = ["approx_topk", "cms_topk_estimates"]
 
+# per-(partition x group) counter capacity = _MG_CAP_FACTOR * m: the
+# Misra-Gries guarantee below then holds with error N_part/(cap+1),
+# comfortably below the N_part/(m*partitions) admission threshold the
+# candidate set needs
+_MG_CAP_FACTOR = 8
+
+
+def _mg_add_batch(counts: dict[str, int], series: pd.Series, cap: int) -> None:
+    """Misra-Gries batched update with HARD capacity ``cap``:
+    add the batch's value counts, then — if over capacity — decrement
+    every counter by the (cap+1)-th largest residual and drop the
+    non-positive ones (the batched generalization of the classic
+    decrement-all step). State is O(cap) FOREVER, and any value with
+    true partition frequency > N_partition/(cap+1) is guaranteed to
+    survive (total decremented mass per counter <= N/(cap+1))."""
+    for v, n in series.value_counts().items():
+        counts[v] = counts.get(v, 0) + int(n)
+    if len(counts) > cap:
+        import numpy as np
+
+        vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        # (cap+1)-th largest residual = decrement that leaves <= cap
+        thr = int(np.partition(vals, len(vals) - (cap + 1))[len(vals) - (cap + 1)])
+        for v in [v for v, n in counts.items() if n - thr <= 0]:
+            del counts[v]
+        for v in counts:
+            counts[v] -= thr
+
 
 def _local_candidates(
     df: DataFrame, key_col: str, m: int, by: Sequence[str] = ()
 ) -> DataFrame:
-    """Distinct union of per-partition top-m values of ``key_col``
-    (per ``by`` group when given)."""
+    """Distinct union of per-partition top-m surviving Misra-Gries
+    counters of ``key_col`` (per ``by`` group when given). Worker
+    memory is bounded at O(groups x _MG_CAP_FACTOR x m) counters per
+    partition regardless of key cardinality."""
     by = list(by)
+    cap = _MG_CAP_FACTOR * m
     src = df.select(*by, F.col(key_col).cast("string").alias(key_col))
     out_schema = T.StructType(
         [src.schema[c] for c in by] + [T.StructField(key_col, T.StringType())]
@@ -49,9 +83,7 @@ def _local_candidates(
             groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
             for g_key, g in groups:
                 g_key = g_key if isinstance(g_key, tuple) else (g_key,)
-                c = counts.setdefault(g_key, {})
-                for v, n in g[key_col].dropna().value_counts().items():
-                    c[v] = c.get(v, 0) + int(n)
+                _mg_add_batch(counts.setdefault(g_key, {}), g[key_col].dropna(), cap)
         if not counts:
             return
         data: dict[str, list] = {c: [] for c in by}

@@ -231,3 +231,71 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+# ------------------------------------------------ degenerate-bucket caps
+
+def test_simhash_pairs_degenerate_bucket_capped(spark):
+    """A templated corpus (300 identical docs) collapses every
+    pigeonhole block onto one value; the max_bucket guard must drop
+    those buckets (bounded candidate count) while distinct near-dup
+    content elsewhere is still found."""
+    from pyspark.sql import functions as F
+
+    boiler = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over the lazy dog tonight again"),
+            (1001, "the quick brown fox jumps over the lazy dog tonight again"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash_signatures(boiler.unionAll(pair), "doc_id", "text")
+    got = simhash_pairs(sigs, "doc_id", max_hamming=3, max_bucket=200).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    # the 300-doc degenerate group (44850 potential pairs) is dropped...
+    assert not any(a < 300 and b < 300 for a, b in ids)
+    # ...but the small near-dup pair survives
+    assert (1000, 1001) in ids
+    # and with an uncapped bucket the degenerate pairs WOULD be emitted
+    all_pairs = simhash_pairs(sigs, "doc_id", max_hamming=3, max_bucket=10**9)
+    assert all_pairs.where("id_a < 300 and id_b < 300").count() == 300 * 299 // 2
+
+
+def test_lsh_neardup_degenerate_bucket_capped(spark):
+    """300 identical embeddings land in one sign bucket — the cap must
+    drop that bucket while a distinct-direction duplicate pair in
+    another bucket is still found."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8).tolist()
+    other = (-np.asarray(base)).tolist()  # antipodal: different bucket
+    rows = [(i, base) for i in range(300)]
+    rows += [(1000, other), (1001, [x * 2.0 for x in other])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_neardup_pairs(df, "vec_id", "embedding", threshold=0.999, max_bucket=200)
+    ids = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert not any(a < 300 and b < 300 for a, b in ids)
+    assert (1000, 1001) in ids
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 25-node path needs ~23 propagation rounds: the checkpointed
+    loop must converge without plan blowup, and an insufficient
+    max_iters must RAISE (split components are never returned
+    silently)."""
+    from tdigest_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(chain, max_iters=30).collect()}
+    assert got == {i: 0 for i in range(25)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=5)

@@ -230,3 +230,48 @@ def test_approx_topk_zipf_high_cardinality(spark):
     for r in cms:
         true = exact_counts[r["key"]]
         assert true <= r["est_count"] <= true + 0.0001 * 400_000 + 50
+
+
+def test_misra_gries_state_bounded_high_cardinality():
+    """The per-partition candidate summary must stay at <= cap counters
+    while streaming ~1e6 distinct keys through, and the planted heavy
+    hitters must survive (the Misra-Gries admission guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.topk import _mg_add_batch
+
+    rng = np.random.default_rng(0)
+    cap = 256
+    counts: dict = {}
+    heavy = [f"hh{i}" for i in range(10)]
+    n_seen = 0
+    for chunk in range(50):
+        # 20k unique cold keys + 2k occurrences of each heavy hitter
+        cold = [f"k{chunk}_{i}" for i in range(20_000)]
+        hot = list(np.repeat(heavy, 200))
+        batch = pd.Series(cold + hot)
+        _mg_add_batch(counts, batch, cap)
+        n_seen += len(batch)
+        assert len(counts) <= cap, "MG summary exceeded its capacity"
+    # ~1e6 distinct cold keys seen overall; each heavy hitter has true
+    # count 10k > N/(cap+1) ~ 4.3k -> guaranteed present
+    for h in heavy:
+        assert h in counts, f"heavy hitter {h} evicted"
+
+
+def test_approx_topk_still_exact_counts_after_mg(spark):
+    """End-to-end: bounded candidate state must not change the exact
+    recount results for clearly-separated frequencies."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.topk import approx_topk
+
+    df = spark.range(11_000).select(
+        F.when(F.col("id") < 6000, F.lit("a"))
+        .when(F.col("id") < 9000, F.lit("b"))
+        .when(F.col("id") < 10_500, F.lit("c"))
+        .otherwise(F.concat(F.lit("rare_"), F.col("id"))).alias("key")
+    )
+    got = approx_topk(df, "key", k=3).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [("a", 6000), ("b", 3000), ("c", 1500)]

@@ -327,3 +327,48 @@ def test_tdigest_sliding_window_not_multiple_of_slide(spark):
     )
     ref = {r["ws"].timestamp(): r["n"] for r in ref}
     assert res == {k: float(v) for k, v in ref.items()}
+
+
+def test_global_merge_auto_salts_at_high_partial_count(spark, monkeypatch):
+    """With partial count above AUTO_SALT_PARTIALS the global digest
+    must get an automatic intermediate merge level (two-level tree, no
+    million-struct single reduce) — and still produce the same
+    lossless median."""
+    import tdigest_spark.operators.digest_agg as da
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(da, "AUTO_SALT_PARTIALS", 8)
+    src = spark.range(0, 10_000, 1, 32).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+    dig = da.tdigest_agg(src, "v", delta=1_000_000)
+    plan = dig._jdf.queryExecution().executedPlan().toString()
+    # intermediate level = the salted groupBy merge (FlatMapGroupsInPandas)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    out = da.tdigest_stats(dig, {"p50": ("quantile", 0.5)}).collect()[0]
+    assert out["p50"] == pytest.approx(499.5, abs=1e-9)
+
+    # explicit salt=0 disables the extra level
+    dig0 = da.tdigest_agg(src, "v", delta=1_000_000, salt=0)
+    plan0 = dig0._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan0, plan0
+
+
+def test_sketch_global_merge_auto_two_level(spark, monkeypatch):
+    """The companion-sketch global reduce inserts the same automatic
+    intermediate level: three MapInPandas stages (partial, mid, final)
+    and an unchanged HLL estimate."""
+    import tdigest_spark.operators.digest_agg as da
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+
+    monkeypatch.setattr(da, "AUTO_SALT_PARTIALS", 8)
+    src = spark.range(0, 20_000, 1, 32).select(
+        (F.col("id") % 5000).cast("string").alias("k")
+    )
+    built = sketch_build(src, {"h": ("hll", "k")})
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 3, plan
+    est = sketch_estimates(built, {"n": ("hll_estimate", "h")}).collect()[0]["n"]
+    assert est == pytest.approx(5000, rel=0.05)
