@@ -212,9 +212,18 @@ def run_checkpointed(
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=1)
 
-    all_partials = read_table(
-        spark, *[m["path"] for m in manifest["buckets"].values()]
-    ).drop("bucket")
+    # read each bucket with the format its WRITER recorded in the
+    # manifest (a resume session whose iceberg availability differs
+    # from the writer's must not re-probe); buckets from before the
+    # manifest carried formats default to the current session's probe
+    by_fmt: dict[str | None, list[str]] = {}
+    for m in manifest["buckets"].values():
+        by_fmt.setdefault(m.get("format"), []).append(m["path"])
+    parts = [read_table(spark, *paths, fmt=f) for f, paths in by_fmt.items()]
+    all_partials = parts[0]
+    for p in parts[1:]:
+        all_partials = all_partials.unionByName(p)
+    all_partials = all_partials.drop("bucket")
     final = tdigest_merge_agg(all_partials, by=["lang"])
     return tdigest_stats(final, STAT_SPEC).withColumn(
         "n_docs", F.col("n_docs").cast("long")

@@ -625,7 +625,12 @@ def tdigest_cube(
     SQL CUBE output."""
     dims = list(dims)
     leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
-    leaf = leaf.persist()
+    # eager localCheckpoint, NOT persist(): computed once for all 2^d
+    # levels (leaf digests are tiny, O(groups x delta)), and the blocks
+    # are ContextCleaner-collectable once the result DataFrame is
+    # dropped — persist() entries live in the CacheManager until the
+    # session ends, leaking storage across repeated calls
+    leaf = leaf.localCheckpoint(eager=True)
     levels = []
     for mask in range(1 << len(dims)):
         keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
@@ -665,8 +670,11 @@ def tdigest_rollup(
     """
     dims = list(dims)
     leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
-    # leaf digests are tiny (O(groups * delta)); reuse for every level
-    leaf = leaf.persist()
+    # leaf digests are tiny (O(groups * delta)); computed once and
+    # reused for every level — eager localCheckpoint instead of
+    # persist() so the blocks are freed with the DataFrame (see
+    # tdigest_cube)
+    leaf = leaf.localCheckpoint(eager=True)
     levels = [leaf]
     cur = leaf
     for i in range(len(dims) - 1, -1, -1):

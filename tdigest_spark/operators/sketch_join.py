@@ -96,8 +96,18 @@ def bloom_semijoin(
     by a Bloom sketch of the small side's keys, then broadcast-joined.
 
     Because Bloom never misses a present key, the result is EXACTLY the
-    plain join's result; only the (shuffle) volume changes.
+    plain join's result; only the (shuffle) volume changes. That
+    equivalence holds ONLY for join types that drop unmatched large-side
+    rows anyway (``inner`` / ``left_semi``): for left/full outer the
+    pre-filter would silently delete the unmatched rows an outer join
+    must keep, so other types are rejected.
     """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_semijoin supports inner/left_semi joins only, got {how!r}: "
+            "the Bloom pre-filter drops unmatched large-side rows, which an "
+            "outer join must preserve — use a plain join for those"
+        )
     filtered = bloom_filter_column(
         large, on, small.select(on), on, n_bits=n_bits, n_hashes=n_hashes
     )

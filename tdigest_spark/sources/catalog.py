@@ -58,7 +58,17 @@ def write_table(
     return fmt
 
 
-def read_table(spark: SparkSession, *paths: str) -> DataFrame:
-    fmt = "iceberg" if iceberg_available(spark) else "parquet"
+def read_table(
+    spark: SparkSession, *paths: str, fmt: str | None = None
+) -> DataFrame:
+    """Read table(s) written by :func:`write_table`. ``fmt`` should be
+    the format :func:`write_table` RETURNED (recorded in the caller's
+    manifest/lineage): a checkpoint written by an Iceberg-enabled
+    session must be read as Iceberg even if the resuming session's
+    runtime probe differs (and vice versa) — re-probing here would read
+    the paths with the wrong format. ``None`` falls back to the current
+    session's probe (fresh reads with no manifest)."""
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(spark) else "parquet"
     # load() takes a single path or a LIST of paths
     return spark.read.format(fmt).load(list(paths) if len(paths) > 1 else paths[0])

@@ -13,8 +13,8 @@ Two shapes:
 * :func:`digest_sink` — ``foreachBatch`` merging each micro-batch's
   partial digests into a checkpoint parquet table via the same
   associative merge as the batch path (streaming query == incremental
-  batch job; exactly-once per micro-batch when the sink dir is
-  idempotently overwritten by key).
+  batch job; exactly-once per micro-batch via atomic snapshot-pointer
+  commits that carry the last-merged batch id WITH the data).
 
 Late data: both shapes compose with ``withWatermark`` upstream —
 rows later than the watermark are dropped by Spark before they reach
@@ -240,25 +240,42 @@ def digest_sink(
     delta: int = 200,
 ):
     """foreachBatch sink: merge each micro-batch into a digest parquet
-    table (read-merge-overwrite per batch). A sidecar meta file records
-    the last merged batch id, making replays after a crash-between-
-    commit-and-checkpoint idempotent (the re-delivered batch is
-    skipped); a missing table is detected explicitly via the sidecar,
-    never by swallowing read errors (a transient read failure must
-    fail the batch, not silently reset history). Returns the
-    StreamingQuery."""
+    table with SNAPSHOT-POINTER commits (a one-symlink Iceberg-style
+    table): each batch writes a fresh snapshot directory containing the
+    merged parquet AND a ``_meta.json`` recording the batch id (Spark
+    readers skip ``_``-prefixed files), then atomically repoints
+    ``table_dir`` — a symlink — at it via ``os.replace``. Data and the
+    last-merged-batch marker therefore commit in ONE atomic step: a
+    crash at any point leaves either the old snapshot (replay re-merges
+    — correct) or the new one (replay is skipped — correct); the
+    round-1 double-merge window between table overwrite and sidecar
+    write is gone. ``spark.read.parquet(table_dir)`` keeps working
+    (the symlink resolves transparently).
+
+    A missing table is detected explicitly via the pointer, never by
+    swallowing read errors (a transient read failure must fail the
+    batch, not silently reset history). Superseded snapshots are pruned
+    on the NEXT commit (after the pointer moved — never under a live
+    reader of the current snapshot).
+
+    Scope: the pointer lives on the driver-local filesystem (or NFS
+    shared with it), the deployment shape of a foreachBatch driver
+    callback; for object-storage tables use the Iceberg path in
+    ``sources.catalog``, whose commit protocol does this natively.
+    Returns the StreamingQuery."""
     import json
     import os
+    import shutil
 
     from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_merge_agg
 
     by = list(by)
-    meta_path = f"{table_dir}._meta.json"
+    snap_root = f"{table_dir}.snapshots"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
+        if os.path.lexists(table_dir):
+            with open(os.path.join(table_dir, "_meta.json")) as f:
                 if batch_id <= json.load(f)["last_batch"]:
                     return  # replayed batch: already merged
             old = spark.read.parquet(table_dir)
@@ -266,10 +283,19 @@ def digest_sink(
             merged = tdigest_merge_agg(old.unionByName(new), by=by)
         else:
             merged = tdigest_agg(batch_df, value_col, by=by, delta=delta)
-        merged.write.mode("overwrite").parquet(f"{table_dir}.tmp")
-        spark.read.parquet(f"{table_dir}.tmp").write.mode("overwrite").parquet(table_dir)
-        with open(meta_path, "w") as f:
+        snap = os.path.join(snap_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(snap)
+        with open(os.path.join(snap, "_meta.json"), "w") as f:
             json.dump({"last_batch": batch_id}, f)
+        # the commit point: one atomic pointer swap (data + marker)
+        tmplink = f"{table_dir}.lnk.tmp"
+        if os.path.lexists(tmplink):
+            os.remove(tmplink)
+        os.symlink(os.path.abspath(snap), tmplink)
+        os.replace(tmplink, table_dir)
+        for stale in os.listdir(snap_root):  # prune superseded snapshots
+            if stale != f"v{batch_id}":
+                shutil.rmtree(os.path.join(snap_root, stale), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(process)

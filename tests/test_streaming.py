@@ -211,3 +211,43 @@ def test_streaming_bloom_dedup(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id FROM dd_stream").toPandas()["event_id"]
     assert got.is_unique
     assert set(got) == set(pdf["event_id"])  # every key exactly once
+
+
+def test_digest_sink_replay_is_idempotent(spark, sf_dir, stream_dir, tmp_path):
+    """Redelivered batch ids (fresh checkpoint, same table) must be
+    skipped — the snapshot-pointer commit carries the last merged batch
+    id WITH the data, so a replay can never double-merge weights."""
+    from tdigest_spark.operators.digest_agg import tdigest_stats
+    from tdigest_spark.streaming.digest_stream import digest_sink
+
+    schema = "event_type string, value double"
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/chunk=*")
+        )
+        q = digest_sink(
+            stream, "value", ["event_type"], table, str(tmp_path / ck), delta=LOSSLESS
+        )
+        q.awaitTermination(300)
+
+    table = str(tmp_path / "digest_table_replay")
+    run("ck_a")
+    before = {
+        r["event_type"]: (r["n"], r["p50"])
+        for r in tdigest_stats(
+            spark.read.parquet(table), {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+        ).collect()
+    }
+    # second run with a FRESH checkpoint redelivers batch ids 0..n —
+    # every one must hit the <= last_batch guard and be skipped
+    run("ck_b")
+    after = {
+        r["event_type"]: (r["n"], r["p50"])
+        for r in tdigest_stats(
+            spark.read.parquet(table), {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+        ).collect()
+    }
+    assert after == before
