@@ -402,7 +402,35 @@ def tdigest_stats(
 
     Runs as one vectorized pass per Arrow batch; digests are tiny
     (O(delta)) so this is driver-light and fully distributed.
+
+    Digest-aware rewrite (the SURVEY §8 fusion slice): calling
+    ``tdigest_stats`` on a DataFrame that IS a ``tdigest_stats`` result
+    over the same digest column does not stack a second Python stage —
+    the call is rebuilt from the original input with the union of both
+    specs, so any chain of stats calls over one digest column collapses
+    to ONE ``mapInPandas`` (each extra Python stage at 100 TB is an
+    extra Arrow serialize/deserialize of every row). Output columns and
+    values are identical to the unfused chain; the fusion is skipped if
+    an output name would collide with a differing spec. Before/after
+    plans: PLANS.md §6.
     """
+    origin = getattr(df, "_td_stats_origin", None)
+    if origin is not None:
+        src, prev_spec, prev_digest = origin
+        if prev_digest == digest_col:
+            clash = [k for k, v in spec.items() if prev_spec.get(k, v) != v]
+            if clash:
+                raise ValueError(
+                    f"tdigest_stats fusion: output column(s) {clash} already "
+                    "defined with a different spec in the chained call"
+                )
+            return tdigest_stats(src, {**prev_spec, **spec}, digest_col)
+    if digest_col not in df.columns:
+        raise ValueError(
+            f"tdigest_stats: no {digest_col!r} column (stats outputs drop it; "
+            "chain stats calls directly on a tdigest_stats result to fuse, or "
+            "evaluate all specs in one call)"
+        )
     keep = [c for c in df.columns if c != digest_col]
     out_schema = T.StructType(
         [df.schema[c] for c in keep]
@@ -420,28 +448,41 @@ def tdigest_stats(
                 out[name] = out[name].astype("float64")
             yield out
 
-    return df.mapInPandas(evaluate, out_schema)
+    out = df.mapInPandas(evaluate, out_schema)
+    # remember the provenance so a chained tdigest_stats call can fuse
+    # with this one instead of adding a second Python stage. NOTE: the
+    # fused rebuild drops the digest column like this call does, so it
+    # is only recorded when a chained call could actually reuse it
+    out._td_stats_origin = (df, dict(spec), digest_col)
+    return out
 
 
 def tdigest_cdf_at(
-    df: DataFrame, probe_col: str, out_col: str = "cdf", digest_col: str = "digest"
+    df: DataFrame,
+    probe_col: str | dict[str, str],
+    out_col: str = "cdf",
+    digest_col: str = "digest",
 ) -> DataFrame:
-    """cdf evaluated at a per-row probe column (digest and probe in the
-    same row, e.g. after joining probes onto group digests)."""
+    """cdf evaluated at per-row probe column(s) (digest and probe in
+    the same row, e.g. after joining probes onto group digests).
+    ``probe_col`` may be one column name (result in ``out_col``) or a
+    mapping ``out_col -> probe_col`` evaluating several probes in the
+    SAME pass (one Python stage, not one per probe)."""
+    probes = {out_col: probe_col} if isinstance(probe_col, str) else dict(probe_col)
     keep = [c for c in df.columns if c != digest_col]
     out_schema = T.StructType(
-        [df.schema[c] for c in keep] + [T.StructField(out_col, T.DoubleType(), True)]
+        [df.schema[c] for c in keep]
+        + [T.StructField(oc, T.DoubleType(), True) for oc in probes]
     )
 
     def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            vals = pdf[probe_col].to_numpy()
-            out[out_col] = [
-                TDigest.from_row(r).cdf(float(x))
-                for r, x in zip(pdf[digest_col], vals)
-            ]
-            out[out_col] = out[out_col].astype("float64")
+            digests = [TDigest.from_row(r) for r in pdf[digest_col]]
+            for oc, pc in probes.items():
+                vals = pdf[pc].to_numpy()
+                out[oc] = [d.cdf(float(x)) for d, x in zip(digests, vals)]
+                out[oc] = out[oc].astype("float64")
             yield out
 
     return df.mapInPandas(evaluate, out_schema)

@@ -12,16 +12,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# registration order = the order the driver evaluates queries; cheap
+# families first and the expensive candidate-generation families last,
+# so a driver-side time budget cuts into the costliest re-runnable
+# queries, not the cheap long tail (round 1 lost the last 3 rows)
 _FAMILIES = (
     "tdigest_q",
-    "relational_q",
-    "sketch_q",
-    "webpages_q",
-    "dedup_q",
-    "text_q",
-    "similarity_q",
     "multimodal_q",
     "pipeline_q",
+    "relational_q",
+    "webpages_q",
+    "text_q",
+    "sketch_q",
+    "similarity_q",
+    "dedup_q",
 )
 
 

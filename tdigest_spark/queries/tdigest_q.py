@@ -265,6 +265,49 @@ def td_weighted_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_fused_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED tdigest_stats calls over one digest column — exercises
+    the digest-aware fusion rewrite (PLANS.md §6): the second call
+    rebuilds from the first's input with the union of both specs, so
+    the plan carries ONE stats mapInPandas stage, and the values are
+    identical to evaluating everything in a single call."""
+    dig = tdigest_agg(
+        load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS
+    )
+    first = tdigest_stats(dig, {"p50_value": ("quantile", 0.5)})
+    out = tdigest_stats(
+        first, {"p90_value": ("quantile", 0.9), "mean_value": ("mean",)}
+    )
+    return _round(out, {"p50_value": 4, "p90_value": 4, "mean_value": 4})
+
+
+def td_weighted_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted digest cdf probed at per-group DATA values (mid-range
+    and max price) — hash-checks the ``weight_col`` build path
+    end-to-end at rank level (the weighted mean alone can't distinguish
+    a mis-weighted cdf). Probes must be data values: the lossless digest
+    is exactly the weighted mid-rank step function AT its atoms, while
+    between atoms it interpolates continuously (by design). Weighted
+    mid-rank cdf over integer weights is integer-arithmetic-
+    deterministic, so lossless == SQL exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    dig = tdigest_agg(
+        li, "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS,
+        weight_col="l_quantity",
+    )
+    probes = li.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("l_extendedprice") >= 30_000.0, F.col("l_extendedprice"))
+        ).alias("__pmid"),
+        F.max("l_extendedprice").alias("__pmax"),
+    )
+    out = tdigest_cdf_at(
+        dig.join(probes, "l_returnflag"),
+        {"cdf_mid": "__pmid", "cdf_max": "__pmax"},
+    ).drop("__pmid", "__pmax")
+    return _round(out, {"cdf_mid": 6, "cdf_max": 6})
+
+
 QUERIES = {
     "td_median_events": td_median_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
@@ -282,6 +325,8 @@ QUERIES = {
     "td_sliding_events": td_sliding_events,
     "td_windowed_events": td_windowed_events,
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
+    "td_fused_stats_events": td_fused_stats_events,
+    "td_weighted_cdf_lineitem": td_weighted_cdf_lineitem,
 }
 
 ORACLES = {
@@ -397,5 +442,34 @@ ORACLES = {
         SELECT event_type, count(value) AS n,
                true AS p50_ok, true AS p99_ok
         FROM events GROUP BY event_type
+    """,
+    "td_fused_stats_events": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value,
+               round(avg(value), 4) AS mean_value
+        FROM events GROUP BY event_type
+    """,
+    "td_weighted_cdf_lineitem": """
+        WITH p AS (
+          SELECT l_returnflag,
+                 min(CASE WHEN l_extendedprice >= 30000.0
+                          THEN l_extendedprice END) AS pmid,
+                 max(l_extendedprice) AS pmax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               round((2 * sum(CASE WHEN l_extendedprice < pmid
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = pmid
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_mid,
+               round((2 * sum(CASE WHEN l_extendedprice < pmax
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = pmax
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_max
+        FROM lineitem l JOIN p USING (l_returnflag)
+        GROUP BY l.l_returnflag
     """,
 }

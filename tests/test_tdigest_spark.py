@@ -372,3 +372,61 @@ def test_sketch_global_merge_auto_two_level(spark, monkeypatch):
     assert plan.count("MapInPandas") == 3, plan
     est = sketch_estimates(built, {"n": ("hll_estimate", "h")}).collect()[0]["n"]
     assert est == pytest.approx(5000, rel=0.05)
+
+
+def test_tdigest_stats_chained_calls_fuse(spark, events):
+    """Chained tdigest_stats calls over one digest column collapse to a
+    single stats mapInPandas (the digest-aware rewrite) with values
+    identical to a one-call evaluation; clashing re-definitions raise."""
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    one_call = tdigest_stats(
+        dig, {"p50": ("quantile", 0.5), "mu": ("mean",)}
+    ).toPandas().sort_values("event_type", ignore_index=True)
+
+    first = tdigest_stats(dig, {"p50": ("quantile", 0.5)})
+    chained = tdigest_stats(first, {"mu": ("mean",)})
+    plan = chained._jdf.queryExecution().executedPlan().toString()
+    # one MapInPandas for the partial build + ONE fused stats stage
+    assert plan.count("MapInPandas") == 2, plan
+    got = chained.toPandas().sort_values("event_type", ignore_index=True)
+    assert got[["event_type", "p50", "mu"]].equals(one_call[["event_type", "p50", "mu"]])
+
+    with pytest.raises(ValueError, match="already defined"):
+        tdigest_stats(first, {"p50": ("quantile", 0.9)})
+    with pytest.raises(ValueError, match="no 'digest' column"):
+        tdigest_stats(first.select("event_type", "p50"), {"mu": ("mean",)})
+
+
+@pytest.mark.parametrize("dist", ["uniform", "normal", "exponential", "gamma"])
+def test_distributed_rank_error_four_distributions(spark, dist):
+    """The reference bench's four input distributions
+    (tdigest-bench/src/Simple.hs:88-99) pushed through the DISTRIBUTED
+    build+merge path (8 partitions, delta=100): rank error of the
+    estimated quantiles within the published bound. The core kernel is
+    covered per-distribution in test_tdigest_core.py; this asserts the
+    Spark partial/merge chain preserves it."""
+    import math
+
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    v = {
+        "uniform": rng.uniform(0, 1, n),
+        "normal": rng.standard_normal(n),
+        "exponential": rng.exponential(1 / math.log(2), n),
+        "gamma": rng.gamma(0.1, 1 / 0.1, n),
+    }[dist]
+    df = spark.createDataFrame(pd.DataFrame({"v": v})).repartition(8)
+    dig = tdigest_agg(df, "v", delta=100)
+    qs = (0.1, 0.5, 0.9, 0.99, 0.999)
+    out = tdigest_stats(
+        dig, {f"q{int(q * 1000)}": ("quantile", q) for q in qs}
+    ).toPandas()
+    sv = np.sort(v)
+    for q in qs:
+        est = out[f"q{int(q * 1000)}"][0]
+        lo = np.searchsorted(sv, est, side="left") / len(sv)
+        hi = np.searchsorted(sv, est, side="right") / len(sv)
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 0.03, (dist, q, est, lo, hi)
