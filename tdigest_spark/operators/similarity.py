@@ -33,6 +33,8 @@ __all__ = [
     "train_ivf_centroids",
     "with_ivf_cell",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_topk_indexed",
 ]
 
 
@@ -305,4 +307,122 @@ def lsh_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
+    )
+
+
+# ----------------------------------------------------------- IVF index
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    nlist: int = 16,
+    seed: int = 7,
+) -> str:
+    """Build-once IVF index: corpus vectors (plus precomputed norms)
+    written as a ``cell``-PARTITIONED table, with the trained centroid
+    matrix in a ``_centroids.json`` sidecar (underscore-prefixed, so
+    table readers skip it). This is the persisted form the ``ivf_topk``
+    docstring promises: the expensive assignment pass runs ONCE, and
+    every later search prunes to its probe cells AT SCAN TIME —
+    partition pruning means a query touching nprobe of nlist cells
+    reads ~nprobe/nlist of the index bytes, which is the difference
+    between re-scanning 100 TB per query batch and reading only the
+    probed shards. Returns the format written (see ``sources.catalog``).
+    """
+    import json
+    import os
+
+    from tdigest_spark.sources.catalog import write_table
+
+    C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
+    cells = with_ivf_cell(with_norm(corpus, vec_col), vec_col, C, nprobe=1)
+    tbl = cells.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("norm"),
+        F.col("cell")[0].alias("cell"),
+    )
+    fmt = write_table(tbl, index_dir, partition_by=("cell",))
+    with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    return fmt
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    fmt: str | None = None,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`): each
+    query probes its ``nprobe`` nearest cells and the index scan is
+    FILTERED to the union of probe cells — a partition filter Catalyst
+    pushes to the scan (PartitionFilters in the plan), so unprobed
+    cells are never read. Queries are driver-side assigned (bounded by
+    contract — the query set is broadcast-small, same bound as
+    ``cosine_topk``). ``nprobe >= nlist`` is exhaustive == brute force.
+    Output: (query_id, rank, id, cosine) — same shape as cosine_topk.
+    """
+    import json
+    import os
+
+    from tdigest_spark.sources.catalog import read_table
+
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        C = np.asarray(json.load(f), dtype=np.float64)
+    nlist = C.shape[0]
+    nprobe = min(nprobe, nlist)
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    if len(qp) == 0:
+        raise ValueError("ivf_topk_indexed: empty query set")
+    Q = np.vstack(qp[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    Qu = Q / np.maximum(qn[:, None], 1e-12)
+    sims = Qu @ C.T
+    top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+
+    rows = []
+    for i in range(len(qp)):
+        for c in top[i]:
+            rows.append(
+                {
+                    query_id: qp[id_col].iloc[i],
+                    "cell": int(c),
+                    "__qv": [float(x) for x in Q[i]],
+                    "__qn": float(qn[i]),
+                }
+            )
+    qdf = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=f"{query_id} long, cell int, __qv array<double>, __qn double",
+    )
+    probe_cells = sorted({int(c) for r in top for c in r})
+
+    idx = read_table(spark, index_dir, fmt=fmt).where(
+        F.col("cell").isin(probe_cells)  # literal IN -> partition pruning
+    )
+    scored = (
+        idx.join(F.broadcast(qdf), "cell")
+        .where(F.col(id_col) != F.col(query_id))
+        .select(
+            query_id,
+            id_col,
+            cosine_expr(
+                F.col("vec"), F.col("__qv"), F.col("norm"), F.col("__qn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
     )

@@ -57,6 +57,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index search (build once into a cell-partitioned
+    table, probe with scan-time partition pruning), run exhaustively
+    (nprobe = nlist) so the result provably equals brute force and
+    hash-matches the SQL oracle; pruned-probe recall and the
+    partition-filter plan are covered in test_pipeline_ops.py."""
+    import tempfile
+
+    from tdigest_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
+    fmt = build_ivf_index(emb, "vec_id", "embedding", index_dir, nlist=8, seed=7)
+    queries = emb.where(F.col("vec_id") % 180 == 0)
+    out = ivf_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=8, fmt=fmt
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding duplicate clusters: LSH near-dup pairs closed into
     components (min-vec_id label), the embedding-side keep-one policy.
@@ -74,6 +96,7 @@ QUERIES = {
     "sim_topk_exact": sim_topk_exact,
     "sim_lsh_neardup": sim_lsh_neardup,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_indexed_topk": sim_ivf_indexed_topk,
     "sim_dup_clusters": sim_dup_clusters,
 }
 
@@ -93,6 +116,22 @@ ORACLES = {
         )
         SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= 5
+    """,
+    "sim_ivf_indexed_topk": """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]) AS cos
+          FROM embeddings c
+          JOIN embeddings q ON q.vec_id % 180 = 0 AND c.vec_id <> q.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= 3
     """,
     "sim_ivf_topk": """
         WITH scored AS (

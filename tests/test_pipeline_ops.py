@@ -299,3 +299,44 @@ def test_connected_components_long_chain_converges(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=5)
+
+
+def test_ivf_index_persist_prune_and_exhaustive(spark, sf_dir, tmp_path):
+    """Persisted IVF index: exhaustive probe equals brute force; a
+    pruned probe pushes a cell partition filter to the scan so only the
+    probed shards are read."""
+    from tdigest_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "ivf_idx")
+    fmt = build_ivf_index(emb, "vec_id", "embedding", index_dir, nlist=8, seed=7)
+    queries = emb.where(F.col("vec_id") % 150 == 0)
+
+    got = ivf_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=8, fmt=fmt
+    )
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+         for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+         for r in exact.collect()}
+    assert g == e
+
+    pruned = ivf_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=2, fmt=fmt
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the probe-cell filter must reach the scan as a PARTITION filter
+    # (unprobed shards never read), with fewer than all 8 cells listed
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^]]*cell[^]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert 0 < len(m.group(1).split(",")) < 8, m.group(1)
+    # pruned search still returns k results per query
+    n_q = queries.count()
+    assert pruned.count() == 3 * n_q
