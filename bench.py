@@ -49,9 +49,26 @@ def _workloads():
             dig, {"p50": ("quantile", 0.5), "p999": ("quantile", 0.999), "n": ("total_weight",)}
         )
 
+    def td_grouped_100k(spark, sf_dir):
+        # 1e5 groups over 3.2M generated rows — the high-cardinality
+        # regime where partial aggregation reduces nothing (a handful
+        # of rows per group per partition), so the right plan is the
+        # all-JVM build (build_engine="sql", ~4x the pandas partial
+        # path here; see tdigest_agg_sql docstring)
+        cpus = int(spark.sparkContext.defaultParallelism)
+        src = spark.range(0, GROUPS_100K_ROWS, 1, cpus * 2).select(
+            (F.col("id") % 100_000).alias("g"),
+            (F.pmod(F.col("id") * 2654435761, 1000003) / 1000.0).alias("v"),
+        )
+        dig = tdigest_agg(src, "v", by=["g"], delta=100, build_engine="sql")
+        return tdigest_stats(dig, {"p50": ("quantile", 0.5)}).selectExpr(
+            "count(*) as n_groups", "round(avg(p50), 2) as avg_p50"
+        )
+
     wl = {
         "td_grouped_events": (td_grouped_events, "events"),
         "td_global_lineitem": (td_global_lineitem, "lineitem"),
+        "td_grouped_100k_groups": (td_grouped_100k, GROUPS_100K_ROWS),
     }
 
     try:
@@ -93,6 +110,7 @@ def _workloads():
 
 
 TRIALS = 3
+GROUPS_100K_ROWS = 1_600_000
 
 
 def _run_suite(master: str, sf_dir: str, names=None):
@@ -131,7 +149,9 @@ def _run_suite(master: str, sf_dir: str, names=None):
         # the minimum approximates uncontended capability
         dt = min(trials)
         times[name] = round(dt, 3)
-        if table is not None:
+        if isinstance(table, int):  # generated input: row count is fixed
+            n = table
+        elif table is not None:
             n = load(spark, sf_dir, table).count()
         else:
             n = next((r["n_docs"] for r in rows if "n_docs" in r.asDict()), 0)
@@ -157,8 +177,16 @@ def main() -> None:
         "rows_per_sec": rates,
     }
 
+    # the north_rule's two-cluster-size criterion: EVERY bench run
+    # carries throughput at two parallelism levels + efficiency (the
+    # full protocol/caveats live in BENCH.md; --scaling runs the
+    # heavyweight version with 4x the rows and 2x the trials)
     if scaling:
         out["scaling"] = run_scaling()
+    else:
+        out["scaling"] = run_scaling(
+            trials=3, rows=16_000_000, kernel_iters=30, kernel_trials=2
+        )
 
     print(json.dumps(out))
 
@@ -166,7 +194,14 @@ def main() -> None:
 SCALE_ROWS = 32_000_000
 
 
-def run_scaling(lo_tasks: int = 2, hi_tasks: int = 8, trials: int = 6) -> dict:
+def run_scaling(
+    lo_tasks: int = 2,
+    hi_tasks: int = 8,
+    trials: int = 6,
+    rows: int = SCALE_ROWS,
+    kernel_iters: int = 60,
+    kernel_trials: int = 3,
+) -> dict:
     """north_rule two-cluster-size stand-in (see BENCH.md for the full
     protocol + caveats): the SAME global t-digest build at two task
     parallelism levels (N and 4N concurrent tasks — the local-mode
@@ -190,7 +225,7 @@ def run_scaling(lo_tasks: int = 2, hi_tasks: int = 8, trials: int = 6) -> dict:
     )
 
     def vals(parts):
-        return spark.range(0, SCALE_ROWS, 1, parts).select(
+        return spark.range(0, rows, 1, parts).select(
             (F.pmod(F.col("id") * 2654435761, 1000003) / 1000.0).alias("v")
         )
 
@@ -207,17 +242,27 @@ def run_scaling(lo_tasks: int = 2, hi_tasks: int = 8, trials: int = 6) -> dict:
     spark.stop()
     s_lo, s_hi = min(t_lo), min(t_hi)
     ratio = hi_tasks / lo_tasks
+    kernel = kernel_scaling(
+        lo_tasks, hi_tasks, iters=kernel_iters, trials=kernel_trials
+    )
     return {
         "workload": "global_tdigest_build",
-        "n_rows": SCALE_ROWS,
+        "n_rows": rows,
         "tasks_lo": lo_tasks,
         "tasks_hi": hi_tasks,
         "sec_lo": round(s_lo, 3),
         "sec_hi": round(s_hi, 3),
-        "rows_per_sec_lo": round(SCALE_ROWS / s_lo, 1),
-        "rows_per_sec_hi": round(SCALE_ROWS / s_hi, 1),
-        "efficiency": round((s_lo / s_hi) / ratio, 3),
-        "kernel": kernel_scaling(lo_tasks, hi_tasks),
+        "rows_per_sec_lo": round(rows / s_lo, 1),
+        "rows_per_sec_hi": round(rows / s_hi, 1),
+        # two efficiencies, named for what they measure: local-mode e2e
+        # runs both legs inside ONE shared JVM (GC, codegen cache and
+        # memory bandwidth are common to all tasks — a known local-mode
+        # artifact, isolated by a pure-JVM control in BENCH.md §2), so
+        # the executor-process analog is the process-parallel kernel
+        # figure; a real N vs 4N executor run shards both.
+        "efficiency_e2e_shared_jvm": round((s_lo / s_hi) / ratio, 3),
+        "efficiency_process_parallel": kernel["efficiency"],
+        "kernel": kernel,
     }
 
 

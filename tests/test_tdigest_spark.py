@@ -430,3 +430,34 @@ def test_distributed_rank_error_four_distributions(spark, dist):
         hi = np.searchsorted(sv, est, side="right") / len(sv)
         err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
         assert err <= 0.03, (dist, q, est, lo, hi)
+
+
+def test_tdigest_agg_sql_build_engine(spark, events, sf_dir):
+    """All-JVM build path (build_engine='sql'): no Python stage in the
+    digest plan, lossless result identical to the pandas build and to
+    DuckDB, compressed result within the rank bound."""
+    dig = tdigest_agg(
+        events, "value", by=["event_type"], delta=LOSSLESS, build_engine="sql"
+    )
+    plan = dig._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+
+    got = tdigest_stats(dig, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    got = {r["event_type"]: r for r in got.collect()}
+    ref = duckdb.sql(
+        f"SELECT event_type, quantile_cont(value, 0.5) p50, count(value) n "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
+    ).fetchall()
+    for et, p50, n in ref:
+        assert got[et]["n"] == n
+        assert got[et]["p50"] == pytest.approx(p50, abs=1e-9)
+
+    # weighted + compressed: within rank-error bound
+    dig100 = tdigest_agg(events.repartition(8), "value", delta=100, build_engine="sql")
+    est = tdigest_stats(dig100, {"p50": ("quantile", 0.5)}).collect()[0]["p50"]
+    vals = np.sort(
+        duckdb.sql(f"SELECT value FROM '{sf_dir}/events.parquet'").fetchnumpy()["value"]
+    )
+    lo = np.searchsorted(vals, est, side="left") / len(vals)
+    hi = np.searchsorted(vals, est, side="right") / len(vals)
+    assert (lo <= 0.5 <= hi) or min(abs(0.5 - lo), abs(0.5 - hi)) <= 0.02
