@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["TDigest", "ksize", "ksize_inv"]
+__all__ = ["TDigest", "ksize", "ksize_inv", "threshold"]
 
 _EMPTY = np.empty(0, dtype=np.float64)
 
@@ -60,6 +60,61 @@ def ksize_inv(k: np.ndarray | float, delta: float) -> np.ndarray | float:
     k = np.asarray(k, dtype=np.float64)
     out = 0.5 * (np.sin((k / delta - 0.5) * np.pi) + 1.0)
     return np.clip(out, 0.0, 1.0)
+
+
+def threshold(n: float, q: float, delta: float) -> float:
+    """k0-style centroid weight cap: ``4*n*q*(1-q)/delta`` — the
+    original size criterion (a centroid at quantile q may hold at most
+    this much weight), mirroring ``Tree/Internal.hs:306-313``. The k1
+    ``ksize`` criterion is this engine's primary scale function; the
+    weight-cap form is provided for parity and for the k0 compression
+    pass (:meth:`TDigest.compressed_k0`)."""
+    return 4.0 * n * q * (1.0 - q) / delta
+
+
+def _compress_k0(
+    means: np.ndarray, weights: np.ndarray, delta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One greedy merge pass under the k0 WEIGHT-CAP criterion: walking
+    mean-sorted centroids, a cluster absorbs its neighbor while the
+    combined weight stays within ``threshold(tw, q_mid, delta)``
+    evaluated at the combined cluster's mid-rank. Tails get tiny caps
+    (q(1-q) -> 0), so extreme quantiles stay near-exact — the same
+    accuracy shape as k1, by a different formula. Used only by the
+    parity surface ``compressed_k0``; the hot paths compress with k1.
+    """
+    n = means.shape[0]
+    if n <= 1:
+        return means, weights
+    tw = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum_before = 0.0
+    i = 0
+    while i < n:
+        w_acc = float(weights[i])
+        pivot = float(means[i])
+        dot = 0.0  # sum of w * (mean - pivot) over the cluster
+        j = i
+        while j + 1 < n:
+            w_next = float(weights[j + 1])
+            q_mid = (cum_before + (w_acc + w_next) / 2.0) / tw
+            if w_acc + w_next > threshold(tw, q_mid, float(delta)):
+                break
+            dot += w_next * (float(means[j + 1]) - pivot)
+            w_acc += w_next
+            j += 1
+        m = pivot + dot / w_acc
+        out_m.append(min(max(m, float(means[i])), float(means[j])))
+        out_w.append(w_acc)
+        cum_before += w_acc
+        i = j + 1
+    m = np.asarray(out_m, dtype=np.float64)
+    w = np.asarray(out_w, dtype=np.float64)
+    if m.shape[0] > 1 and np.any(np.diff(m) < 0):
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+    return m, w
 
 
 def _compress(
@@ -272,6 +327,27 @@ class TDigest:
         if self.size <= 1:
             return self
         m, w = _compress(self.means, self.weights, self.delta, reverse=self.direction)
+        return TDigest(
+            means=m,
+            weights=w,
+            total_weight=self.total_weight,
+            vmin=self.vmin,
+            vmax=self.vmax,
+            delta=self.delta,
+            direction=not self.direction,
+        )
+
+    def compressed_k0(self) -> "TDigest":
+        """Compress under the k0 WEIGHT-CAP criterion
+        (``threshold(n, q, 1/comp)``, ``Tree/Internal.hs:306-313``) —
+        the tree variant's size rule, provided for parity with the
+        reference's original scale function. Produces a valid t-digest
+        (clusters of mean-sorted runs, each within its weight cap);
+        the engine's hot paths use the k1 ``ksize`` criterion, which
+        bounds cluster *q-widths* directly."""
+        if self.size <= 1:
+            return self
+        m, w = _compress_k0(self.means, self.weights, self.delta)
         return TDigest(
             means=m,
             weights=w,

@@ -277,3 +277,60 @@ def test_density_histogram_integrates_to_one():
     total = sum((hi - lo) * dens for lo, hi, dens in bins if hi > lo)
     assert total == pytest.approx(1.0, rel=1e-9)
     assert all(dens >= 0 for _, _, dens in bins)
+
+
+# ------------------------------------------------- k0 threshold parity
+
+def test_threshold_formula_golden():
+    """threshold n q comp = 4*n*q*(1-q)/comp (Tree/Internal.hs:306-313)."""
+    from tdigest_spark.sketch.tdigest import threshold
+
+    assert threshold(1000, 0.5, 100) == pytest.approx(4 * 1000 * 0.25 / 100)
+    assert threshold(1000, 0.0, 100) == 0.0
+    assert threshold(1000, 1.0, 100) == 0.0
+    # symmetric in q
+    assert threshold(500, 0.2, 50) == pytest.approx(threshold(500, 0.8, 50))
+
+
+@pytest.mark.parametrize("data_idx", range(len(DATASETS)))
+def test_k0_compression_weight_cap_and_rank_error(data_idx):
+    """compressed_k0: every multi-point centroid respects its k0 weight
+    cap at its own mid-rank, invariants hold, and quantile rank error
+    stays within the same practical bound as k1."""
+    from tdigest_spark.sketch.tdigest import threshold
+
+    v = DATASETS[data_idx]
+    if len(v) < 100:
+        return
+    delta = 100
+    # start from singleton centroids (the k0 pass merges, never splits,
+    # so only clusters IT forms are subject to its cap)
+    sv0 = np.sort(np.asarray(v, dtype=np.float64))
+    d = TDigest(
+        means=sv0,
+        weights=np.ones_like(sv0),
+        total_weight=float(len(sv0)),
+        vmin=float(sv0[0]),
+        vmax=float(sv0[-1]),
+        delta=delta,
+    ).compressed_k0()
+    d.validate()
+    assert d.total_weight == pytest.approx(len(v))
+    assert d.mean() == pytest.approx(np.asarray(v).mean(), rel=1e-9)
+    cum = np.cumsum(d.weights)
+    tw = float(d.total_weight)
+    for i in range(d.size):
+        if d.weights[i] <= 1.0:
+            continue  # singletons are always admissible
+        q_mid = (cum[i] - d.weights[i] / 2.0) / tw
+        cap = threshold(tw, q_mid, float(delta))
+        assert d.weights[i] <= cap * (1 + 1e-9) or d.weights[i] <= 1.0, (
+            i, d.weights[i], cap,
+        )
+    sv = np.sort(np.asarray(v, dtype=np.float64))
+    for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+        est = d.quantile(q)
+        lo = np.searchsorted(sv, est, side="left") / len(sv)
+        hi = np.searchsorted(sv, est, side="right") / len(sv)
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 0.03, (data_idx, q, err)
