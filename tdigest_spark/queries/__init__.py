@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 _FAMILIES = (
     "tdigest_q",
     "multimodal_q",
+    "streaming_q",
     "pipeline_q",
     "relational_q",
     "webpages_q",
