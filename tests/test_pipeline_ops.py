@@ -340,3 +340,23 @@ def test_ivf_index_persist_prune_and_exhaustive(spark, sf_dir, tmp_path):
     # pruned search still returns k results per query
     n_q = queries.count()
     assert pruned.count() == 3 * n_q
+
+
+def test_candidate_generation_plans_no_cartesian(spark, corpus, sf_dir):
+    """The near-dup candidate joins must be hash/sort-merge equi-joins
+    on bucket keys — a CartesianProduct or BroadcastNestedLoopJoin in
+    any of these plans means the bucketing degenerated to all-pairs."""
+    from tdigest_spark.operators.dedup import minhash_dedup_pairs as mdp
+
+    plans = {}
+    plans["minhash"] = mdp(corpus, "doc_id", "text", threshold=0.5)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    plans["simhash"] = simhash_pairs(sigs, "doc_id", max_hamming=3)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    plans["lsh"] = lsh_neardup_pairs(emb, "vec_id", "embedding", 0.999)
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
