@@ -40,11 +40,25 @@ def exact_dedup(
     df: DataFrame, cols: Sequence[str], id_col: str, keep: str = "min"
 ) -> DataFrame:
     """Exact dedup: one survivor per identical ``cols`` tuple
-    (deterministic: lowest/highest id). Hash-groupBy — shuffles on the
-    content hash, map-side combine keeps pre-shuffle rows per partition
-    bounded by distinct count."""
+    (deterministic: lowest/highest id).
+
+    The groupBy key is a 256-bit content digest
+    (``sha2(to_json(struct(cols)))`` — JVM codegen, null-safe: to_json
+    distinguishes NULL from empty string), NOT the raw columns: at
+    100 TB the dedup shuffle then carries 32 bytes + id per row instead
+    of the full document text — the shuffle volume drops by the mean
+    doc size. sha-256 collisions are negligible at any realistic corpus
+    (~1e-40 expected collisions at 1e12 docs), so the result equals the
+    raw-column groupBy exactly; map-side combine still bounds
+    pre-shuffle rows per partition by distinct count."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    keep_ids = df.groupBy(*cols).agg(agg.alias(id_col)).select(id_col)
+    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+    keep_ids = (
+        df.select(F.col(id_col), key.alias("__ck"))
+        .groupBy("__ck")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
     return df.join(keep_ids, id_col, "left_semi")
 
 
