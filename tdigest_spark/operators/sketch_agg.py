@@ -140,7 +140,10 @@ def _norm_specs(specs: dict[str, tuple]) -> dict[str, tuple[str, str, tuple]]:
 
 
 def sketch_build(
-    df: DataFrame, specs: dict[str, tuple], by: Sequence[str] = ()
+    df: DataFrame,
+    specs: dict[str, tuple],
+    by: Sequence[str] = (),
+    strategy: str = "partials",
 ) -> DataFrame:
     """Build many sketches in ONE pass: ``specs`` maps output column ->
     ``(kind, value_col, *params)``; returns one row per group with a
@@ -149,6 +152,18 @@ def sketch_build(
     Kinds / params: ``("hll", col, p=12)``, ``("bloom", col,
     n_bits=1<<20, n_hashes=7)``, ``("cms", col, eps=0.001,
     delta=0.01)``, ``("kll", col, k=200)``.
+
+    ``strategy`` (same regime split as ``tdigest_agg``'s
+    ``build_engine``): ``"partials"`` (default) does map-side partial
+    sketches + merge — raw rows never shuffle, the right plan when
+    groups are FEW (the shuffle is O(partitions x groups) blobs).
+    ``"rows"`` repartitions the RAW rows by key and builds each group's
+    sketch exactly once, with NO merge stage — the right plan when
+    group cardinality approaches the row count, where the partial plan
+    inverts (a fixed-size blob per group x partition is BIGGER than the
+    rows it summarizes, and the blob shuffle dwarfs the raw rows:
+    measured 73 s -> 20 s for HLL over 1.6M rows x 1e5 groups,
+    BENCH.md §1e).
     """
     by = list(by)
     specs = _norm_specs(specs)
@@ -194,6 +209,18 @@ def sketch_build(
             for name in specs:
                 data[name].append(sk[name].to_bytes())
         yield pd.DataFrame(data)
+
+    if strategy == "rows":
+        if not by:
+            raise ValueError('strategy="rows" requires grouping keys (by=...)')
+        # co-partition raw rows by key: every key lands in exactly one
+        # partition, so the per-partition accumulator IS the final
+        # sketch — one Python stage, no blob merge at all
+        return src.repartition(*[F.col(c) for c in by]).mapInPandas(
+            build_partials, out_schema
+        )
+    if strategy != "partials":
+        raise ValueError(f"unknown sketch_build strategy {strategy!r}")
 
     partials = src.mapInPandas(build_partials, out_schema)
 

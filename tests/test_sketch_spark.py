@@ -275,3 +275,34 @@ def test_approx_topk_still_exact_counts_after_mg(spark):
     )
     got = approx_topk(df, "key", k=3).collect()
     assert [(r["key"], r["cnt"]) for r in got] == [("a", 6000), ("b", 3000), ("c", 1500)]
+
+
+def test_sketch_build_rows_strategy_equals_partials(spark):
+    """strategy='rows' (co-partition raw rows, build once per group, no
+    merge stage) must produce identical estimates to the partial/merge
+    path — register max / blob merge is associative, so both orders of
+    accumulation agree exactly."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+
+    src = spark.range(0, 30_000, 1, 8).select(
+        (F.col("id") % 300).alias("g"),
+        (F.col("id") % 97).cast("string").alias("k"),
+        (F.col("id") % 101).cast("double").alias("v"),
+    )
+    specs = {"h": ("hll", "k", 10), "q": ("kll", "v", 200)}
+    ests = {"n": ("hll_estimate", "h"), "p50": ("kll_quantile", "q", 0.5)}
+    a = sketch_estimates(sketch_build(src, specs, by=["g"]), ests)
+    b = sketch_estimates(sketch_build(src, specs, by=["g"], strategy="rows"), ests)
+    ra = {r["g"]: (r["n"], r["p50"]) for r in a.collect()}
+    rb = {r["g"]: (r["n"], r["p50"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 300
+
+    plan = sketch_build(src, specs, by=["g"], strategy="rows")
+    plan = plan._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE python stage, no FlatMapGroupsInPandas merge
+    assert plan.count("MapInPandas") == 1 and "FlatMapGroupsInPandas" not in plan
+
+    with pytest.raises(ValueError, match="requires grouping keys"):
+        sketch_build(src, specs, strategy="rows")
