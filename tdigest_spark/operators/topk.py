@@ -46,9 +46,11 @@ def _mg_add_batch(counts: dict[str, int], series: pd.Series, cap: int) -> None:
     add the batch's value counts, then — if over capacity — decrement
     every counter by the (cap+1)-th largest residual and drop the
     non-positive ones (the batched generalization of the classic
-    decrement-all step). State is O(cap) FOREVER, and any value with
-    true partition frequency > N_partition/(cap+1) is guaranteed to
-    survive (total decremented mass per counter <= N/(cap+1))."""
+    decrement-all step). Carried state is O(cap) between batches
+    (transiently O(cap + batch-distinct) inside one batch, bounded by
+    the Arrow batch size), and any value with true partition frequency
+    > N_partition/(cap+1) is guaranteed to survive (total decremented
+    mass per counter <= N/(cap+1))."""
     for v, n in series.value_counts().items():
         counts[v] = counts.get(v, 0) + int(n)
     if len(counts) > cap:

@@ -274,6 +274,12 @@ def digest_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if os.path.lexists(table_dir) and not os.path.islink(table_dir):
+            raise ValueError(
+                f"digest_sink: {table_dir!r} exists as a plain directory "
+                "(pre-snapshot-pointer layout); move it aside or start a "
+                "new table_dir"
+            )
         if os.path.lexists(table_dir):
             with open(os.path.join(table_dir, "_meta.json")) as f:
                 if batch_id <= json.load(f)["last_batch"]:
