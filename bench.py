@@ -8,10 +8,10 @@ Runs the headline sketch-build + merge workloads at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-workload sec...}, "sf": ..., ...aux...}
 
-Aux keys: ``rows_per_sec`` per workload, and (with ``--scaling``)
-throughput at two parallelism levels + scaling efficiency — the
+Aux keys: ``rows_per_sec`` per workload, and a ``scaling`` object in
+EVERY run — throughput at two parallelism levels + efficiency, the
 sandbox stand-in for the north_rule's N vs 4N executor criterion
-(see BENCH.md).
+(``--scaling`` = the full-size protocol; see BENCH.md).
 
 Reference baseline being matched: 0.73-0.94M values/sec single-node
 t-digest build (phadej/tdigest bench.log.txt:82-239, summarized in

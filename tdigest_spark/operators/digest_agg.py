@@ -411,6 +411,14 @@ def tdigest_agg_sql(
     difference).
     """
     by = list(by)
+    if not by:
+        # the ungrouped window would sort EVERY raw row in one task —
+        # the global regime belongs to the partial build + auto-salt
+        raise ValueError(
+            "tdigest_agg_sql requires grouping keys (by=...): for a "
+            "global digest use the default partial build, whose merge "
+            "tree auto-salts at high partition counts"
+        )
     c = F.col
     w = (
         c(weight_col).cast("double")

@@ -461,3 +461,10 @@ def test_tdigest_agg_sql_build_engine(spark, events, sf_dir):
     lo = np.searchsorted(vals, est, side="left") / len(vals)
     hi = np.searchsorted(vals, est, side="right") / len(vals)
     assert (lo <= 0.5 <= hi) or min(abs(0.5 - lo), abs(0.5 - hi)) <= 0.02
+
+
+def test_tdigest_agg_sql_rejects_global(spark, events):
+    """The all-JVM build is a grouped-regime tool: ungrouped it would
+    sort every raw row in one window task, so it must refuse."""
+    with pytest.raises(ValueError, match="requires grouping keys"):
+        tdigest_agg(events, "value", delta=100, build_engine="sql")
