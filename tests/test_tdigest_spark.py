@@ -452,15 +452,25 @@ def test_tdigest_agg_sql_build_engine(spark, events, sf_dir):
         assert got[et]["n"] == n
         assert got[et]["p50"] == pytest.approx(p50, abs=1e-9)
 
-    # weighted + compressed: within rank-error bound
-    dig100 = tdigest_agg(events.repartition(8), "value", delta=100, build_engine="sql")
-    est = tdigest_stats(dig100, {"p50": ("quantile", 0.5)}).collect()[0]["p50"]
-    vals = np.sort(
-        duckdb.sql(f"SELECT value FROM '{sf_dir}/events.parquet'").fetchnumpy()["value"]
+    # compressed (delta=100), grouped: within rank-error bound per group
+    dig100 = tdigest_agg(
+        events.repartition(8), "value", by=["event_type"], delta=100,
+        build_engine="sql",
     )
-    lo = np.searchsorted(vals, est, side="left") / len(vals)
-    hi = np.searchsorted(vals, est, side="right") / len(vals)
-    assert (lo <= 0.5 <= hi) or min(abs(0.5 - lo), abs(0.5 - hi)) <= 0.02
+    ests = {
+        r["event_type"]: r["p50"]
+        for r in tdigest_stats(dig100, {"p50": ("quantile", 0.5)}).collect()
+    }
+    for et, est in ests.items():
+        vals = np.sort(
+            duckdb.sql(
+                f"SELECT value FROM '{sf_dir}/events.parquet' "
+                f"WHERE event_type = '{et}'"
+            ).fetchnumpy()["value"]
+        )
+        lo = np.searchsorted(vals, est, side="left") / len(vals)
+        hi = np.searchsorted(vals, est, side="right") / len(vals)
+        assert (lo <= 0.5 <= hi) or min(abs(0.5 - lo), abs(0.5 - hi)) <= 0.02, et
 
 
 def test_tdigest_agg_sql_rejects_global(spark, events):
