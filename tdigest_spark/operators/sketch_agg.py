@@ -68,6 +68,30 @@ class _HLLKind(_Kind):
     def new(self, params):
         return HLL(p=params[0] if params else 12)
 
+    def grouped_update(self, accs, name, pdf, by, val, params):
+        """Batch-level grouped update: hash the WHOLE Arrow batch once,
+        compute (register, rank) vectorized, then scatter-max per group
+        — removes the dominant per-group-call overhead at high group
+        cardinality (one hash64/Series-construction per batch instead
+        of one per group; see BENCH.md §1e)."""
+        from tdigest_spark.sketch.hashing import hash64
+
+        s = pdf[val]
+        mask = s.notna().to_numpy()
+        if not mask.any():
+            return
+        p = params[0] if params else 12
+        idx, rho = HLL.idx_rho(hash64(s[mask]), p)
+        frame = pd.DataFrame({c: pdf[c].to_numpy()[mask] for c in by})
+        frame["__i"] = idx
+        frame["__r"] = rho
+        for key, g in frame.groupby(by, sort=False, dropna=False):
+            key = key if isinstance(key, tuple) else (key,)
+            sk = accs.setdefault(key, {})
+            obj = sk.get(name) or HLL(p)
+            np.maximum.at(obj.registers, g["__i"].to_numpy(), g["__r"].to_numpy())
+            sk[name] = obj
+
 
 class _BloomKind(_Kind):
     name, cast = "bloom", "string"
@@ -187,17 +211,32 @@ def sketch_build(
         + [T.StructField(name, T.BinaryType(), True) for name in specs]
     )
 
+    # kinds with a batch-level grouped update (one hash per Arrow batch,
+    # scatter per group) vs the generic per-group update loop
+    fast_specs = {
+        n: s
+        for n, s in specs.items()
+        if by and hasattr(KINDS[s[0]], "grouped_update")
+    }
+    slow_specs = {n: s for n, s in specs.items() if n not in fast_specs}
+
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[tuple, dict[str, object]] = {}
         for pdf in batches:
-            groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
-            for key, g in groups:
-                key = key if isinstance(key, tuple) else (key,)
-                sk = accs.setdefault(key, {})
-                for name, (kind, _col, params) in specs.items():
-                    obj = sk.get(name) or KINDS[kind].new(params)
-                    val, aux = in_col[name]
-                    sk[name] = KINDS[kind].update(obj, g[val], *(g[a] for a in aux))
+            for name, (kind, _col, params) in fast_specs.items():
+                val, _aux = in_col[name]
+                KINDS[kind].grouped_update(accs, name, pdf, by, val, params)
+            if slow_specs:
+                groups = (
+                    pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+                )
+                for key, g in groups:
+                    key = key if isinstance(key, tuple) else (key,)
+                    sk = accs.setdefault(key, {})
+                    for name, (kind, _col, params) in slow_specs.items():
+                        obj = sk.get(name) or KINDS[kind].new(params)
+                        val, aux = in_col[name]
+                        sk[name] = KINDS[kind].update(obj, g[val], *(g[a] for a in aux))
         if not accs:
             return
         data: dict[str, list] = {c: [] for c in by}
@@ -206,8 +245,11 @@ def sketch_build(
         for key, sk in accs.items():
             for c, k in zip(by, key):
                 data[c].append(k)
-            for name in specs:
-                data[name].append(sk[name].to_bytes())
+            for name, (kind, _col, params) in specs.items():
+                # a group may have had no non-null rows for one spec
+                # (the grouped path skips them): emit the empty sketch
+                obj = sk.get(name) or KINDS[kind].new(params)
+                data[name].append(obj.to_bytes())
         yield pd.DataFrame(data)
 
     if strategy == "rows":

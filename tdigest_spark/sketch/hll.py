@@ -51,21 +51,30 @@ class HLL:
 
     # ---------------- update / merge ----------------
 
-    def add(self, values) -> "HLL":
-        """Vectorized batch update (never per-row Python)."""
-        h = hash64(values)
-        if h.size == 0:
-            return self
-        p = np.uint64(self.p)
-        idx = (h >> (np.uint64(64) - p)).astype(np.int64)
-        low = h & ((np.uint64(1) << (np.uint64(64) - p)) - np.uint64(1))
-        nbits = 64 - self.p
+    @staticmethod
+    def idx_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+        """(register index, rank) for pre-hashed uint64 values —
+        exposed so batch-level GROUPED updates can hash a whole Arrow
+        batch once and scatter per group (one hash call per batch
+        instead of one per group)."""
+        pp = np.uint64(p)
+        idx = (h >> (np.uint64(64) - pp)).astype(np.int64)
+        low = h & ((np.uint64(1) << (np.uint64(64) - pp)) - np.uint64(1))
+        nbits = 64 - p
         # rank = leading zeros of the low bits + 1; float64 log2 is exact
         # for nbits <= 52 (p >= 12 keeps low < 2^52)
         bl = np.zeros_like(low, dtype=np.int64)
         nz = low > 0
         bl[nz] = np.floor(np.log2(low[nz].astype(np.float64))).astype(np.int64) + 1
         rho = (nbits - bl + 1).astype(np.uint8)
+        return idx, rho
+
+    def add(self, values) -> "HLL":
+        """Vectorized batch update (never per-row Python)."""
+        h = hash64(values)
+        if h.size == 0:
+            return self
+        idx, rho = self.idx_rho(h, self.p)
         np.maximum.at(self.registers, idx, rho)
         return self
 
