@@ -46,6 +46,39 @@ def sk_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_hll_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-check shape: estimated overlap between each lang's
+    text set and a global 'benchmark' sample (docs with doc_id%5==0)
+    via HLL inclusion-exclusion — two sketches instead of a distinct
+    join of the corpora. Bound: overlap error propagates over three
+    estimates relative to the UNION size, so the ok-boolean uses a
+    5-sigma-of-union tolerance."""
+    from tdigest_spark.operators.sketch_agg import hll_overlap
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text", "doc_id")
+    per_lang = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang"])
+    bench = sketch_build(
+        docs.where(F.col("doc_id") % 5 == 0), {"hb": ("hll", "text", _HLL_P)}
+    )
+    est = hll_overlap(per_lang.crossJoin(F.broadcast(bench)), "h", "hb")
+    exact = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .groupBy("lang")
+        .agg(F.countDistinct("text").alias("exact_overlap"))
+    )
+    tol = F.lit(5 * 1.04 / float(np.sqrt(1 << _HLL_P))) * F.col("union_est")
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "exact_overlap",
+            (F.abs(F.col("overlap_est") - F.col("exact_overlap")) <= tol).alias(
+                "overlap_ok"
+            ),
+        )
+    )
+
+
 def sk_kll_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     built = sketch_build(docs, {"k": ("kll", "n_chars", 1_000_000)}, by=["lang"])
@@ -197,6 +230,7 @@ def sk_topk_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sk_hll_distinct_docs": sk_hll_distinct_docs,
+    "sk_hll_overlap_docs": sk_hll_overlap_docs,
     "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
     "sk_bloom_membership_docs": sk_bloom_membership_docs,
     "sk_kll_weighted_cdf_lineitem": sk_kll_weighted_cdf_lineitem,
@@ -211,6 +245,10 @@ ORACLES = {
     "sk_hll_distinct_docs": """
         SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
         FROM documents GROUP BY lang
+    """,
+    "sk_hll_overlap_docs": """
+        SELECT lang, count(DISTINCT text) AS exact_overlap, true AS overlap_ok
+        FROM documents WHERE doc_id % 5 = 0 GROUP BY lang
     """,
     "sk_kll_quantiles_docs": """
         SELECT lang,

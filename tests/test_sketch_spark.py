@@ -306,3 +306,19 @@ def test_sketch_build_rows_strategy_equals_partials(spark):
 
     with pytest.raises(ValueError, match="requires grouping keys"):
         sketch_build(src, specs, strategy="rows")
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """Planted overlap: |A∩B| estimated within a few sigma of union."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sketch_agg import hll_overlap, sketch_build
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("k"), "id").alias("k"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("k"), "id").alias("k"))
+    ha = sketch_build(a, {"h": ("hll", "k", 12)})
+    hb = sketch_build(b, {"hb": ("hll", "k", 12)})
+    row = hll_overlap(ha.crossJoin(hb), "h", "hb").collect()[0]
+    tol = 5 * 1.04 / (1 << 6) * row["union_est"]  # 5 sigma at p=12
+    assert abs(row["overlap_est"] - 1000) <= tol, (row["overlap_est"], tol)
+    assert abs(row["union_est"] - 6000) <= 3 * 1.04 / (1 << 6) * 6000
