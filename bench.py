@@ -184,9 +184,7 @@ def main() -> None:
     if scaling:
         out["scaling"] = run_scaling()
     else:
-        out["scaling"] = run_scaling(
-            trials=3, rows=16_000_000, kernel_iters=30, kernel_trials=2
-        )
+        out["scaling"] = run_scaling(trials=3, kernel_iters=40, kernel_trials=3)
 
     print(json.dumps(out))
 
