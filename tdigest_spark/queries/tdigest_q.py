@@ -308,6 +308,23 @@ def td_weighted_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"cdf_mid": 6, "cdf_max": 6})
 
 
+def td_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — robust dispersion the reference's
+    stats surface lacks — composed from existing operators in two
+    digest passes: per-group median (lossless), then a lossless digest
+    of |value − median|. Oracle: DuckDB's ``mad()`` (same unscaled
+    continuous-median convention)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    d1 = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
+    med = tdigest_stats(d1, {"__med": ("quantile", 0.5)})
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("__med")).alias("dev")
+    )
+    d2 = tdigest_agg(dev, "dev", by=["event_type"], delta=LOSSLESS)
+    out = tdigest_stats(d2, {"mad": ("quantile", 0.5)})
+    return _round(out, {"mad": 4})
+
+
 QUERIES = {
     "td_median_events": td_median_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
@@ -327,6 +344,7 @@ QUERIES = {
     "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
     "td_fused_stats_events": td_fused_stats_events,
     "td_weighted_cdf_lineitem": td_weighted_cdf_lineitem,
+    "td_mad_events": td_mad_events,
 }
 
 ORACLES = {
@@ -441,6 +459,10 @@ ORACLES = {
     "td_p99_compressed": """
         SELECT event_type, count(value) AS n,
                true AS p50_ok, true AS p99_ok
+        FROM events GROUP BY event_type
+    """,
+    "td_mad_events": """
+        SELECT event_type, round(mad(value), 4) AS mad
         FROM events GROUP BY event_type
     """,
     "td_fused_stats_events": """

@@ -478,3 +478,27 @@ def test_tdigest_agg_sql_rejects_global(spark, events):
     sort every raw row in one window task, so it must refuse."""
     with pytest.raises(ValueError, match="requires grouping keys"):
         tdigest_agg(events, "value", delta=100, build_engine="sql")
+
+
+def test_weighted_sql_build_equals_pandas_lossless(spark):
+    """build_engine='sql' with a weight column: lossless results must
+    equal the pandas partial build exactly (same construction at
+    delta >= n: every row keeps its own cluster)."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "v": np.r_[np.arange(50.0), np.arange(0.0, 500.0, 10.0)],
+        "w": np.r_[np.tile([1.0, 3.0], 25), np.tile([2.0, 5.0], 25)],
+    })
+    df = spark.createDataFrame(rows).repartition(4)
+    spec = {"p25": ("quantile", 0.25), "p50": ("quantile", 0.5),
+            "p90": ("quantile", 0.9), "tw": ("total_weight",)}
+    a = tdigest_stats(
+        tdigest_agg(df, "v", by=["g"], delta=LOSSLESS, weight_col="w",
+                    build_engine="sql"), spec)
+    b = tdigest_stats(
+        tdigest_agg(df, "v", by=["g"], delta=LOSSLESS, weight_col="w"), spec)
+    ra = {r["g"]: tuple(r[c] for c in spec) for r in a.collect()}
+    rb = {r["g"]: tuple(r[c] for c in spec) for r in b.collect()}
+    assert ra == rb and len(ra) == 2
