@@ -145,13 +145,20 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only:
     |A ∩ B| via a shingle join restricted to candidates,
-    |A ∪ B| = |A| + |B| − |∩|."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    |A ∪ B| = |A| + |B| − |∩|.
+
+    The intersection join keys on the 64-bit shingle hash, not the
+    shingle text — the verify shuffle then carries 8 bytes per shingle
+    instead of the k-gram string (set sizes and intersections are
+    preserved up to 64-bit collisions, ~n²/2⁶⁵ expected — negligible
+    against the candidate volumes this stage sees)."""
+    shh = sh.select(id_col, F.xxhash64("s").alias("__sh"))
+    sizes = shh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = shh.select(F.col(id_col).alias("id_b"), "__sh")
     inter = (
         pairs.join(a, "id_a")
-        .join(b, ["id_b", "s"])
+        .join(b, ["id_b", "__sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("c"))
     )
