@@ -75,7 +75,7 @@ def shingles(
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str, n_hashes: int = 64
+    sh: DataFrame, id_col: str, n_hashes: int = 64, hash_col: str | None = None
 ) -> DataFrame:
     """MinHash signature per doc from a shingle table, as ``n_hashes``
     JVM-side ``min(...)`` aggregates — whole-stage codegen, map-side
@@ -86,13 +86,17 @@ def minhash_signatures(
     (``xxhash64(i, h)``) — the one-strong-hash + independent-mixes
     construction (Kirsch-Mitzenmacher; same scheme as
     ``sketch/hashing.py``), which avoids re-hashing every multi-byte
-    shingle 64 times (~1.4x faster signature stage)."""
-    h = sh.select(id_col, F.xxhash64("s").alias("__h"))
+    shingle 64 times (~1.4x faster signature stage). Pass ``hash_col``
+    when the input already carries the shingle hash (the pipeline
+    persists hashed shingles — 8 bytes/row instead of the k-gram)."""
+    if hash_col is None:
+        sh = sh.select(id_col, F.xxhash64("s").alias("__h"))
+        hash_col = "__h"
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return h.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -141,7 +145,7 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str
+    pairs: DataFrame, sh: DataFrame, id_col: str, hash_col: str | None = None
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only:
     |A ∩ B| via a shingle join restricted to candidates,
@@ -151,8 +155,12 @@ def jaccard_verify(
     shingle text — the verify shuffle then carries 8 bytes per shingle
     instead of the k-gram string (set sizes and intersections are
     preserved up to 64-bit collisions, ~n²/2⁶⁵ expected — negligible
-    against the candidate volumes this stage sees)."""
-    shh = sh.select(id_col, F.xxhash64("s").alias("__sh"))
+    against the candidate volumes this stage sees). ``hash_col``: the
+    input already carries the shingle hash."""
+    if hash_col is None:
+        shh = sh.select(id_col, F.xxhash64("s").alias("__sh"))
+    else:
+        shh = sh.select(id_col, F.col(hash_col).alias("__sh"))
     sizes = shh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shh.select(F.col(id_col).alias("id_a"), "__sh")
     b = shh.select(F.col(id_col).alias("id_b"), "__sh")
@@ -188,17 +196,24 @@ def minhash_dedup_pairs(
     exact-Jaccard verify -> pairs with jaccard >= threshold.
 
     The shingle table feeds two consumers (signatures and the verify
-    join), so it is persisted — at warehouse scale this is the
+    join), so it is persisted — HASHED (8 bytes per shingle, both
+    consumers key on the hash; the k-gram text never leaves the
+    shingling stage): at warehouse scale this is the
     materialize-the-shingle-table step every production near-dup
-    pipeline has (spill-to-disk storage level, safe at any size)."""
+    pipeline has, at a fraction of the string footprint
+    (spill-to-disk storage level, safe at any size)."""
     from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        shingles(df, id_col, text_col, shingle_k)
+        .select(id_col, F.xxhash64("s").alias("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = minhash_signatures(sh, id_col, n_hashes)
+    sigs = minhash_signatures(sh, id_col, n_hashes, hash_col="__sh")
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
-    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+    return jaccard_verify(cands, sh, id_col, hash_col="__sh").where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --------------------------------------------------------------- SimHash
