@@ -195,6 +195,14 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify -> pairs with jaccard >= threshold.
 
+    Precision is exact (every emitted pair is verified >= threshold);
+    recall follows the banding s-curve 1-(1-j^r)^b with r = n_hashes /
+    bands: the default (r=4, b=16) puts the s-curve midpoint at
+    (1/16)^(1/4) = 0.5 — pairs AT a 0.5 threshold are found with
+    ~64% probability, rising steeply above it (>=0.998 at j=0.7,
+    ~1-1e-5 at j=0.85). Raise ``bands`` (smaller r) to push recall up
+    at the boundary at the cost of more candidates to verify.
+
     The shingle table feeds two consumers (signatures and the verify
     join), so it is persisted — HASHED (8 bytes per shingle, both
     consumers key on the hash; the k-gram text never leaves the
