@@ -304,7 +304,10 @@ def _global_reduce(partials: DataFrame, merge_fn, out_schema) -> DataFrame:
 
 
 def sketch_merge_agg(
-    df: DataFrame, kinds: dict[str, str], by: Sequence[str] = ()
+    df: DataFrame,
+    kinds: dict[str, str],
+    by: Sequence[str] = (),
+    strategy: str = "partials",
 ) -> DataFrame:
     """Merge EXISTING sketch-blob columns per group (the companion-
     sketch analog of ``tdigest_merge_agg`` — the reference's ``<>``,
@@ -313,8 +316,13 @@ def sketch_merge_agg(
     use: coarser groupings derive from finer ones by associative merge,
     never rescanning the raw table.
 
-    Same partial/final shape: partition-local merges first, so one
-    blob per (partition x group x column) shuffles.
+    ``strategy="partials"`` (default): partition-local merges first, so
+    one blob per (partition x group x column) shuffles — right when the
+    output grouping is much coarser than the input rows.
+    ``strategy="rows"``: co-partition the input blobs by key and merge
+    once per group in a single Python stage (no per-group applyInPandas
+    invocation) — right when output groups ~ input rows, same regime
+    split as :func:`sketch_build`.
     """
     by = list(by)
     cols = list(kinds)
@@ -354,6 +362,17 @@ def sketch_merge_agg(
             for c in cols:
                 data[c].append(sk[c])
         yield pd.DataFrame(data)
+
+    if strategy == "rows":
+        if not by:
+            raise ValueError('strategy="rows" requires grouping keys (by=...)')
+        # co-partitioned by key: the per-partition accumulator IS the
+        # final merge — one Python stage, one output row per group
+        return src.repartition(*[F.col(c) for c in by]).mapInPandas(
+            partial, out_schema
+        )
+    if strategy != "partials":
+        raise ValueError(f"unknown sketch_merge_agg strategy {strategy!r}")
 
     partials = src.mapInPandas(partial, out_schema)
 

@@ -322,3 +322,31 @@ def test_hll_overlap_inclusion_exclusion(spark):
     tol = 5 * 1.04 / (1 << 6) * row["union_est"]  # 5 sigma at p=12
     assert abs(row["overlap_est"] - 1000) <= tol, (row["overlap_est"], tol)
     assert abs(row["union_est"] - 6000) <= 3 * 1.04 / (1 << 6) * 6000
+
+
+def test_sketch_merge_agg_rows_strategy_equals_partials(spark):
+    """Rollup merge via co-partitioned single stage must equal the
+    partial/final path exactly (associative register max)."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_build,
+        sketch_estimates,
+        sketch_merge_agg,
+    )
+
+    src = spark.range(0, 20_000, 1, 8).select(
+        (F.col("id") % 40).alias("g"),
+        (F.col("id") % 7).alias("sub"),
+        (F.col("id") % 400).cast("string").alias("k"),
+    )
+    fine = sketch_build(src, {"h": ("hll", "k", 10)}, by=["g", "sub"])
+    # truncate lineage so the plan assertions below see ONLY the merge
+    fine = fine.localCheckpoint(eager=True)
+    a = sketch_merge_agg(fine, {"h": "hll"}, by=["g"])
+    b = sketch_merge_agg(fine, {"h": "hll"}, by=["g"], strategy="rows")
+    ea = {r["g"]: r["n"] for r in sketch_estimates(a, {"n": ("hll_estimate", "h")}).collect()}
+    eb = {r["g"]: r["n"] for r in sketch_estimates(b, {"n": ("hll_estimate", "h")}).collect()}
+    assert ea == eb and len(ea) == 40
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "FlatMapGroupsInPandas" not in plan
