@@ -50,7 +50,7 @@ def _workloads():
         )
 
     def td_grouped_100k(spark, sf_dir):
-        # 1e5 groups over 3.2M generated rows — the high-cardinality
+        # 1e5 groups over 1.6M generated rows — the high-cardinality
         # regime where partial aggregation reduces nothing (a handful
         # of rows per group per partition), so the right plan is the
         # all-JVM build (build_engine="sql", ~4x the pandas partial
@@ -180,7 +180,8 @@ def main() -> None:
     # the north_rule's two-cluster-size criterion: EVERY bench run
     # carries throughput at two parallelism levels + efficiency (the
     # full protocol/caveats live in BENCH.md; --scaling runs the
-    # heavyweight version with 4x the rows and 2x the trials)
+    # heavyweight capture: 6 interleaved trials and longer kernel legs
+    # over the same 32M-row workload)
     if scaling:
         out["scaling"] = run_scaling()
     else:

@@ -50,9 +50,20 @@ def exact_dedup(
     doc size. sha-256 collisions are negligible at any realistic corpus
     (~1e-40 expected collisions at 1e12 docs), so the result equals the
     raw-column groupBy exactly; map-side combine still bounds
-    pre-shuffle rows per partition by distinct count."""
+    pre-shuffle rows per partition by distinct count. Float/double
+    columns are normalized (-0.0 -> 0.0) before serialization — SQL
+    grouping treats them as equal but to_json renders them as distinct
+    strings."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+
+    def _norm(c: str):
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt in ("float", "double"):
+            return F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col).alias(c)
+        return col.alias(c)
+
+    key = F.sha2(F.to_json(F.struct(*[_norm(c) for c in cols])), 256)
     keep_ids = (
         df.select(F.col(id_col), key.alias("__ck"))
         .groupBy("__ck")

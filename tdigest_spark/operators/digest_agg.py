@@ -58,9 +58,21 @@ AUTO_SALT_PARTIALS = 512
 def _auto_salt(partials: DataFrame) -> int | None:
     """Balanced two-level fan-in (sqrt of the partial count) when the
     final single-task reduce would otherwise be the bottleneck — e.g.
-    1e6 input partitions become 1000-way then 1000-way merges. Partition
-    count is read from the physical plan (no job is run)."""
-    n = partials.rdd.getNumPartitions()
+    1e6 input partitions become 1000-way then 1000-way merges.
+
+    The partial count must be read WITHOUT executing anything: under
+    AQE, ``.rdd`` on a plan containing an Exchange materializes the
+    upstream query stages eagerly (running those shuffles twice once
+    the real action fires). So ``.rdd.getNumPartitions()`` is only used
+    for exchange-free lineage (narrow ops over a scan — the common
+    global-sketch shape, where it plans without running a job); plans
+    with an Exchange use ``spark.sql.shuffle.partitions`` as the
+    post-shuffle width bound instead."""
+    plan = partials._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        n = int(partials.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    else:
+        n = partials.rdd.getNumPartitions()
     if n > AUTO_SALT_PARTIALS:
         return max(2, math.isqrt(n))
     return None
@@ -748,7 +760,10 @@ def tdigest_cube(
     # levels (leaf digests are tiny, O(groups x delta)), and the blocks
     # are ContextCleaner-collectable once the result DataFrame is
     # dropped — persist() entries live in the CacheManager until the
-    # session ends, leaking storage across repeated calls
+    # session ends, leaking storage across repeated calls. Trade-off:
+    # the leaf job runs at call time, and checkpoint blocks are not
+    # recomputable after executor loss (lineage truncated) — acceptable
+    # for this O(groups)-sized intermediate; rerun the call on loss
     leaf = leaf.localCheckpoint(eager=True)
     levels = []
     for mask in range(1 << len(dims)):

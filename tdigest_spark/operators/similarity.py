@@ -402,7 +402,15 @@ def ivf_topk_indexed(
             )
     qdf = spark.createDataFrame(
         pd.DataFrame(rows),
-        schema=f"{query_id} long, cell int, __qv array<double>, __qn double",
+        schema=T.StructType(
+            [
+                # id dtype follows the caller's id column (string ids etc.)
+                T.StructField(query_id, queries.schema[id_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+                T.StructField("__qn", T.DoubleType()),
+            ]
+        ),
     )
     probe_cells = sorted({int(c) for r in top for c in r})
 

@@ -224,6 +224,15 @@ def sketch_build(
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[tuple, dict[str, object]] = {}
         for pdf in batches:
+            if fast_specs and not slow_specs:
+                # the grouped updates skip all-NULL groups entirely —
+                # register every group key seen in the batch so those
+                # groups still emit their (empty-sketch) row, matching
+                # the per-group loop's semantics (same groupby call so
+                # the key scalars are identical to the update paths')
+                keys = pdf.groupby(by, sort=False, dropna=False).size().index
+                for key in keys:
+                    accs.setdefault(key if isinstance(key, tuple) else (key,), {})
             for name, (kind, _col, params) in fast_specs.items():
                 val, _aux = in_col[name]
                 KINDS[kind].grouped_update(accs, name, pdf, by, val, params)

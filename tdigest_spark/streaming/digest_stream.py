@@ -254,9 +254,11 @@ def digest_sink(
 
     A missing table is detected explicitly via the pointer, never by
     swallowing read errors (a transient read failure must fail the
-    batch, not silently reset history). Superseded snapshots are pruned
-    on the NEXT commit (after the pointer moved — never under a live
-    reader of the current snapshot).
+    batch, not silently reset history). Each commit keeps the current
+    snapshot plus its predecessor and prunes anything older — a reader
+    that resolved the pointer just before a commit finishes its scan on
+    the grace generation; it is deleted one commit later, never under a
+    live reader.
 
     Scope: the pointer lives on the driver-local filesystem (or NFS
     shared with it), the deployment shape of a foreachBatch driver
@@ -299,9 +301,16 @@ def digest_sink(
             os.remove(tmplink)
         os.symlink(os.path.abspath(snap), tmplink)
         os.replace(tmplink, table_dir)
-        for stale in os.listdir(snap_root):  # prune superseded snapshots
-            if stale != f"v{batch_id}":
-                shutil.rmtree(os.path.join(snap_root, stale), ignore_errors=True)
+        # prune all but the current snapshot AND its predecessor: a
+        # reader that resolved the pointer just before this commit may
+        # still be scanning the previous snapshot — it is deleted one
+        # commit later, never under a live reader
+        vs = sorted(
+            int(s[1:]) for s in os.listdir(snap_root)
+            if s.startswith("v") and s[1:].isdigit()
+        )
+        for old in vs[:-2]:
+            shutil.rmtree(os.path.join(snap_root, f"v{old}"), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -350,3 +350,22 @@ def test_sketch_merge_agg_rows_strategy_equals_partials(spark):
     assert ea == eb and len(ea) == 40
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1 and "FlatMapGroupsInPandas" not in plan
+
+
+def test_sketch_build_all_null_group_emits_empty(spark):
+    """A group whose value column is entirely NULL must still emit its
+    row with an empty sketch (estimate 0) on every strategy — the
+    batch-level grouped update must not drop it."""
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), ("b", None)], "g string, k string"
+    )
+    for strat in ("partials", "rows"):
+        built = sketch_build(df, {"h": ("hll", "k", 12)}, by=["g"], strategy=strat)
+        r = {
+            x["g"]: x["n"]
+            for x in sketch_estimates(built, {"n": ("hll_estimate", "h")}).collect()
+        }
+        assert set(r) == {"a", "b"}, (strat, r)
+        assert r["b"] == 0.0 and r["a"] >= 1.0, (strat, r)
