@@ -45,7 +45,9 @@ def st_digest_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = digest_sink(
         stream, "value", ["event_type"], f"{d}/table", f"{d}/ck", delta=LOSSLESS
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st_digest_sink_events: stream did not finish in 300s")
     dig = spark.read.parquet(f"{d}/table")
     out = tdigest_stats(
         dig, {"p50_value": ("quantile", 0.5), "n_values": ("total_weight",)}
