@@ -325,6 +325,29 @@ def td_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"mad": 4})
 
 
+def td_highcard_sql_build_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-JVM build engine through the oracle gate at HIGH group
+    cardinality (1e4 groups — the regime it exists for): lossless
+    per-group medians == quantile_cont, folded to one row with
+    DECIMAL sums (exact, order-independent — a double sum over 1e4
+    groups would hash-drift on partition order)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 10_000).alias("g"), "l_extendedprice"
+    )
+    dig = tdigest_agg(
+        li, "l_extendedprice", by=["g"], delta=LOSSLESS, build_engine="sql"
+    )
+    st = tdigest_stats(dig, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    # integer checksum of the 1e4 medians: scale to BIGINT before
+    # summing (a double sum over 1e4 groups would drift with partition
+    # order; integer addition is exact and order-free)
+    return st.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.col("n").cast("long")).alias("n_rows"),
+        F.sum(F.round(F.col("p50") * 10_000).cast("long")).alias("p50_checksum"),
+    )
+
+
 QUERIES = {
     "td_median_events": td_median_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
@@ -345,6 +368,7 @@ QUERIES = {
     "td_fused_stats_events": td_fused_stats_events,
     "td_weighted_cdf_lineitem": td_weighted_cdf_lineitem,
     "td_mad_events": td_mad_events,
+    "td_highcard_sql_build_lineitem": td_highcard_sql_build_lineitem,
 }
 
 ORACLES = {
@@ -460,6 +484,18 @@ ORACLES = {
         SELECT event_type, count(value) AS n,
                true AS p50_ok, true AS p99_ok
         FROM events GROUP BY event_type
+    """,
+    "td_highcard_sql_build_lineitem": """
+        WITH g AS (
+          SELECT l_orderkey % 10000 AS g,
+                 quantile_cont(l_extendedprice, 0.5) AS p50,
+                 count(l_extendedprice) AS n
+          FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_groups,
+               sum(n)::BIGINT AS n_rows,
+               sum(round(p50 * 10000)::BIGINT)::BIGINT AS p50_checksum
+        FROM g
     """,
     "td_mad_events": """
         SELECT event_type, round(mad(value), 4) AS mad
