@@ -189,6 +189,12 @@ def sketch_build(
     rows it summarizes, and the blob shuffle dwarfs the raw rows:
     measured 73 s -> ~6-8 s for HLL over 1.6M rows x 1e5 groups with
     the batch-level grouped update, BENCH.md §1e).
+
+    WIDE sketches (CMS ~50 KB, Bloom ~128 KB at defaults) should not be
+    built per-group at high group cardinality under EITHER strategy —
+    the output alone is groups x blob bytes. For per-group frequency at
+    1e5+ groups, sketch ONE global CMS over the concatenated
+    ``(group, key)`` pair and probe with concatenated keys instead.
     """
     by = list(by)
     specs = _norm_specs(specs)
