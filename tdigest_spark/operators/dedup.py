@@ -11,8 +11,10 @@ Scale shape (the part that must survive 100 TB):
   ``min(xxhash64(...))`` partial aggs — map-side combined, one shuffle
   of doc_id -> 64x8 bytes, raw text never shuffles);
 * LSH banding shuffles (band_idx, band_hash) keys — bucket sizes are
-  the only quadratic risk, so buckets are capped (``max_bucket``) the
-  way production near-dup pipelines drop degenerate buckets;
+  the only quadratic risk, so an opt-in ``max_bucket`` cap drops
+  degenerate buckets the way production near-dup pipelines do, with
+  :func:`oversized_buckets` enumerating the dropped keys so the cap is
+  never silent (route that mass through :func:`exact_dedup`);
 * exact Jaccard verification joins shingles ONLY for candidate pairs
   (|candidates| << |pairs|).
 """
@@ -33,7 +35,44 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_signatures",
     "simhash_pairs",
+    "oversized_buckets",
+    "connected_components",
 ]
+
+
+def _cap_buckets(banded: DataFrame, keys: Sequence[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket`` before a bucket
+    self-join (the guard against quadratic blowup on degenerate
+    content). ``None`` = no cap. The cap is OPT-IN: a capped call drops
+    every pair inside an oversized bucket, so callers must pair it with
+    :func:`oversized_buckets` to route that mass elsewhere (typically
+    :func:`exact_dedup` — oversized buckets are boilerplate)."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bsz", F.count("*").over(w))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def oversized_buckets(
+    banded: DataFrame, keys: Sequence[str], max_bucket: int
+) -> DataFrame:
+    """The buckets a ``max_bucket`` cap WOULD drop: one row per
+    oversized bucket key with its member count (no member lists — a
+    degenerate bucket can hold millions of rows; join ``banded`` back
+    on the keys to enumerate members). Pair with any capped
+    candidate-pair call so the dropped mass is routed through exact
+    dedup instead of vanishing silently; ``banded`` is the bucketed
+    table the pair functions build (see each docstring)."""
+    keys = list(keys)
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
 
 
 def exact_dedup(
@@ -51,19 +90,41 @@ def exact_dedup(
     (~1e-40 expected collisions at 1e12 docs), so the result equals the
     raw-column groupBy exactly; map-side combine still bounds
     pre-shuffle rows per partition by distinct count. Float/double
-    columns are normalized (-0.0 -> 0.0) before serialization — SQL
-    grouping treats them as equal but to_json renders them as distinct
-    strings."""
+    values are normalized (-0.0 -> 0.0) before serialization,
+    RECURSIVELY through array/struct nesting — SQL grouping
+    (NormalizeFloatingNumbers) treats -0.0 == 0.0 at any depth but
+    to_json renders them as distinct strings. Map-typed columns are
+    rejected: to_json key order is not canonicalized, so equal maps
+    can serialize differently."""
+    from pyspark.sql import types as T
+
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
 
-    def _norm(c: str):
-        dt = df.schema[c].dataType.simpleString()
-        col = F.col(c)
-        if dt in ("float", "double"):
-            return F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col).alias(c)
-        return col.alias(c)
+    def _norm(col, dt):
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # -0.0 == 0.0 is true in SQL, so this folds both to +0.0;
+            # NULL compares null -> otherwise(col) keeps it NULL
+            return F.when(col == 0.0, F.lit(0.0).cast(dt.simpleString())).otherwise(col)
+        if isinstance(dt, T.ArrayType):
+            return F.transform(col, lambda x: _norm(x, dt.elementType))
+        if isinstance(dt, T.StructType):
+            return F.struct(
+                *[_norm(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+            )
+        if isinstance(dt, T.MapType):
+            raise ValueError(
+                "exact_dedup: map-typed dedup columns are not supported "
+                "(to_json map key order is not canonical); explode the "
+                "map into sorted entries first"
+            )
+        return col
 
-    key = F.sha2(F.to_json(F.struct(*[_norm(c) for c in cols])), 256)
+    key = F.sha2(
+        F.to_json(
+            F.struct(*[_norm(F.col(c), df.schema[c].dataType).alias(c) for c in cols])
+        ),
+        256,
+    )
     keep_ids = (
         df.select(F.col(id_col), key.alias("__ck"))
         .groupBy("__ck")
@@ -115,12 +176,19 @@ def lsh_candidate_pairs(
     id_col: str,
     n_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int = 200,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures (r = n_hashes/bands rows per band), bucket by
-    band hash, emit candidate id pairs (a < b). Oversized buckets
-    (degenerate content) are dropped — the standard guard against
-    quadratic bucket blowup at web scale."""
+    band hash, emit candidate id pairs (a < b).
+
+    ``max_bucket`` (opt-in — default NO cap) drops buckets larger than
+    the cap before the self-join, the standard guard against quadratic
+    bucket blowup on degenerate/templated content at web scale. The
+    cap silently removes EVERY pair inside an oversized bucket (large
+    true-duplicate clusters included!), so production callers that set
+    it should route the dropped buckets — enumerable with
+    :func:`oversized_buckets` over the banded (id, band, bh) table —
+    through :func:`exact_dedup` instead."""
     r = n_hashes // bands
     band_structs = F.array(
         *[
@@ -135,10 +203,7 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    w = Window.partitionBy("band", "bh")
-    banded = banded.withColumn("__bsz", F.count("*").over(w)).where(
-        F.col("__bsz") <= max_bucket
-    )
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -202,6 +267,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     n_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify -> pairs with jaccard >= threshold.
@@ -229,7 +295,7 @@ def minhash_dedup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = minhash_signatures(sh, id_col, n_hashes, hash_col="__sh")
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, max_bucket=max_bucket)
     return jaccard_verify(cands, sh, id_col, hash_col="__sh").where(
         F.col("jaccard") >= threshold
     )
@@ -345,22 +411,23 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
-    max_bucket: int = 200,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the
     pigeonhole trick: split 64 bits into ``chunks`` 16-bit blocks; any
     pair within distance <= chunks-1 shares at least one exact block ->
     bucket-join on (block_idx, block_value), verify with bit_count(xor).
 
-    Blocks whose bucket exceeds ``max_bucket`` rows are dropped before
-    the self-join — the same degenerate-content guard as
-    :func:`lsh_candidate_pairs`: a templated/near-empty corpus collapses
-    many docs onto a few block values (e.g. simhash 0) and an unguarded
-    self-join goes quadratic. Recall caveat: a true near-dup pair whose
-    EVERY shared block is oversized is missed; with ``max_hamming <
-    chunks`` a pair shares >= chunks - max_hamming blocks, so it is
-    dropped only when all of those are degenerate — in which case the
-    docs are boilerplate a dedup pipeline drops by other means anyway.
+    ``max_bucket`` (opt-in — default NO cap) drops blocks whose bucket
+    exceeds the cap before the self-join — the same degenerate-content
+    guard as :func:`lsh_candidate_pairs`: a templated/near-empty corpus
+    collapses many docs onto a few block values (e.g. simhash 0) and an
+    unguarded self-join goes quadratic. Recall caveat when capped: a
+    true near-dup pair is missed only if EVERY shared block is
+    oversized (with ``max_hamming < chunks`` a pair shares >= chunks -
+    max_hamming blocks); enumerate the dropped mass with
+    :func:`oversized_buckets` over the (id, blk, bv) block table and
+    route it through :func:`exact_dedup`.
     """
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     width = 64 // chunks
@@ -379,10 +446,7 @@ def simhash_pairs(
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bb")
     ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
-    w = Window.partitionBy("blk", "bv")
-    banded = banded.withColumn("__bsz", F.count("*").over(w)).where(
-        F.col("__bsz") <= max_bucket
-    ).drop("__bsz")
+    banded = _cap_buckets(banded, ["blk", "bv"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

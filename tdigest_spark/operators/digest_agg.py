@@ -24,6 +24,7 @@ any single reducer's fan-in.
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -48,6 +49,19 @@ _VALUE = "__td_value"
 _WEIGHT = "__td_weight"
 _SALT = "__td_salt"
 
+_NAN = float("nan")
+
+
+def canon_key(key: tuple) -> tuple:
+    """Canonicalize a pandas groupby key tuple for use as a dict key:
+    every float NaN is replaced with ONE module-level nan instance.
+    Two groupbys over the same frame materialize *distinct* nan
+    objects, and ``hash(nan)`` is id-based on py3.10+, so dict lookups
+    keyed on raw groupby keys silently split a NaN-keyed group into
+    duplicates; a shared instance restores identity-based equality, and
+    emitting it writes an ordinary NaN."""
+    return tuple(_NAN if isinstance(k, float) and k != k else k for k in key)
+
 # auto-insert an intermediate merge level once the single final reduce
 # would see more than this many partial digests (one per partition for
 # a global sketch): above it, the one task's deserialize-everything
@@ -69,8 +83,17 @@ def _auto_salt(partials: DataFrame) -> int | None:
     with an Exchange use ``spark.sql.shuffle.partitions`` as the
     post-shuffle width bound instead."""
     plan = partials._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
-        n = int(partials.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # match Exchange as a plan-node token (line start after tree
+    # prefixes), not a bare substring that could hit unrelated plan text
+    if re.search(r"(?m)^[\s+*:!-]*Exchange", plan):
+        try:
+            n = int(partials.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # e.g. "auto" under some AQE runtimes; .rdd would execute the
+            # upstream stages, so assume wide and salt — an unnecessary
+            # sqrt level costs one tiny extra stage, an absent one costs
+            # a single-task reduce over every partial
+            n = 4 * AUTO_SALT_PARTIALS
     else:
         n = partials.rdd.getNumPartitions()
     if n > AUTO_SALT_PARTIALS:
@@ -144,7 +167,7 @@ def tdigest_agg(
         for pdf in batches:
             if by:
                 for key, g in pdf.groupby(by, sort=False, dropna=False):
-                    key = key if isinstance(key, tuple) else (key,)
+                    key = canon_key(key if isinstance(key, tuple) else (key,))
                     w = g[_WEIGHT].to_numpy() if weight_col else None
                     d = TDigest.from_values(g[_VALUE].to_numpy(), delta, weights=w)
                     accs[key] = accs[key].merge(d) if key in accs else d
@@ -242,7 +265,7 @@ def tdigest_merge_agg(
                 pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
             )
             for key, g in groups:
-                key = key if isinstance(key, tuple) else (key,)
+                key = canon_key(key if isinstance(key, tuple) else (key,))
                 d = TDigest.merge_all([TDigest.from_row(r) for r in g[digest_col]])
                 accs[key] = accs[key].merge(d) if key in accs else d
         if not accs:
@@ -307,11 +330,44 @@ def tdigest_merge_agg_sql(
     Everything whole-stage-codegen except the window sort; no Python
     worker is involved, so this path wins when group count is large
     (no Arrow hop, no per-group pandas overhead).
+
+    KEYLESS merges (``by=[]``) run TWO levels: the centroid rows are
+    first clustered within ``spark_partition_id() % s`` salt buckets
+    (k1 clustering is itself a valid re-compression, so the composition
+    stays within the published bound — and is exact in lossless mode),
+    then the bounded O(s x delta) survivors go through the final
+    keyless pass. Without this, the final window's empty partition spec
+    would sort EVERY input centroid in one task — O(groups x delta)
+    rows for a cube/rollup grand total.
     """
     by = list(by)
-    c = F.col
+    ex = _explode_digests(df, by, digest_col)
+    if not by:
+        salt = "__td_msalt"
+        try:
+            s = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            s = 32
+        s = max(2, min(64, s))
+        # intermediate level clusters at the WORKING delta (2x public,
+        # same policy as ship_compressed) so the double compression
+        # doesn't compound error; the final pass enforces the public
+        # delta. delta=None (lossless/carried) keeps per-group max.
+        work = None if delta is None else TDigest.WORK_MULT * delta
+        salted = ex.withColumn(salt, F.spark_partition_id() % F.lit(s))
+        mid = _k1_cluster_rebuild(salted, [salt], digest_col, work)
+        ex = _explode_digests(mid.select(digest_col), [], digest_col)
+    return _k1_cluster_rebuild(ex, by, digest_col, delta)
 
-    ex = df.select(
+
+def _explode_digests(
+    df: DataFrame, by: Sequence[str], digest_col: str
+) -> DataFrame:
+    """Digest structs -> weighted centroid rows (``__m``, ``__w`` plus
+    the ``__vmin``/``__vmax``/``__delta`` carries) per group — the input
+    shape of :func:`_k1_cluster_rebuild`."""
+    c = F.col
+    return df.select(
         *by,
         c(f"{digest_col}.delta").alias("__delta"),
         c(f"{digest_col}.vmin").alias("__vmin"),
@@ -333,7 +389,6 @@ def tdigest_merge_agg_sql(
         c("__c.m").alias("__m"),
         c("__c.w").alias("__w"),
     )
-    return _k1_cluster_rebuild(ex, by, digest_col, delta)
 
 
 def _k1_cluster_rebuild(
@@ -417,10 +472,14 @@ def tdigest_agg_sql(
     (key, value, weight) rows (measured ~4x faster at 1e5 groups,
     BENCH.md). Same construction validity and rank-error bound as
     ``tdigest_merge_agg_sql`` (cluster q-widths <= 1/delta); exact in
-    lossless mode. NULL values are dropped (matching ``from_values``);
-    a group whose values are ALL null is absent from the output (the
-    pandas path emits an empty digest instead — the one semantic
-    difference).
+    lossless mode. NULL and NaN values are dropped, and with a
+    ``weight_col`` so are NULL/NaN/non-positive weights — the exact
+    filter ``TDigest.from_values`` applies, so both build engines see
+    the same rows (an unfiltered NaN would sort last in the window and
+    poison its cluster's weighted mean; w <= 0 would corrupt
+    total_weight). A group whose values are ALL dropped is absent from
+    the output (the pandas path emits an empty digest instead — the
+    one semantic difference).
     """
     by = list(by)
     if not by:
@@ -432,17 +491,19 @@ def tdigest_agg_sql(
             "tree auto-salts at high partition counts"
         )
     c = F.col
-    w = (
-        c(weight_col).cast("double")
-        if weight_col is not None
-        else F.lit(1.0)
-    )
-    ex = df.where(c(value_col).isNotNull()).select(
+    v = c(value_col).cast("double")
+    keep = v.isNotNull() & ~F.isnan(v)
+    if weight_col is not None:
+        w = c(weight_col).cast("double")
+        keep = keep & w.isNotNull() & ~F.isnan(w) & (w > 0)
+    else:
+        w = F.lit(1.0)
+    ex = df.where(keep).select(
         *by,
         F.lit(delta).alias("__delta"),
-        c(value_col).cast("double").alias("__vmin"),
-        c(value_col).cast("double").alias("__vmax"),
-        c(value_col).cast("double").alias("__m"),
+        v.alias("__vmin"),
+        v.alias("__vmax"),
+        v.alias("__m"),
         w.alias("__w"),
     )
     return _k1_cluster_rebuild(ex, by, digest_col, delta)

@@ -121,9 +121,9 @@ def with_lsh_bucket(
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy())
-            nonlocal_dim = mat.shape[1]
+            dim = mat.shape[1]
             if P is None:
-                P = np.random.default_rng(seed).standard_normal((nonlocal_dim, planes))
+                P = np.random.default_rng(seed).standard_normal((dim, planes))
             signs = (mat.astype(np.float64) @ P) > 0
             out = pdf.copy()
             out[out_col] = signs.dot(1 << np.arange(planes)).astype(np.int64)
@@ -268,25 +268,28 @@ def lsh_neardup_pairs(
     vec_col: str,
     threshold: float = 0.999,
     planes: int = 16,
-    max_bucket: int = 200,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold via LSH bucketing +
     exact in-bucket verification. Vectors within angle theta collide
     with prob (1 - theta/pi)^planes; at threshold ~1 (theta ~ 0) the
     planted-duplicate recall is 1 by construction.
 
-    Buckets larger than ``max_bucket`` are dropped before the self-join
-    (same guard as the MinHash/SimHash paths): a degenerate corpus —
-    e.g. many all-zero or identical embeddings — collapses into one
-    sign bucket and the in-bucket verification goes quadratic. Recall
-    caveat: pairs living ONLY in an oversized bucket are missed; such
-    buckets are exactly the degenerate mass a near-dup pass should
-    handle by exact dedup instead."""
+    ``max_bucket`` (opt-in — default NO cap): buckets larger than the
+    cap are dropped before the self-join (same guard as the
+    MinHash/SimHash paths) — a degenerate corpus (many all-zero or
+    identical embeddings) collapses into one sign bucket and the
+    in-bucket verification goes quadratic. A capped call silently
+    misses every pair living ONLY in oversized buckets, so enumerate
+    them (``with_lsh_bucket`` output grouped by ``bucket``, or
+    ``dedup.oversized_buckets``) and route that degenerate mass through
+    exact dedup instead."""
     b = with_lsh_bucket(with_norm(df, vec_col), vec_col, planes)
-    w = Window.partitionBy("bucket")
-    b = b.withColumn("__bsz", F.count("*").over(w)).where(
-        F.col("__bsz") <= max_bucket
-    ).drop("__bsz")
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        b = b.withColumn("__bsz", F.count("*").over(w)).where(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
     a_side = b.select(
         F.col(id_col).alias("id_a"), F.col("bucket"),
         F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"),

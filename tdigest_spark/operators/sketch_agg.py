@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tdigest_spark.operators.digest_agg import canon_key
 from tdigest_spark.sketch.bloom import BloomFilter
 from tdigest_spark.sketch.cms import CountMin
 from tdigest_spark.sketch.hll import HLL
@@ -87,7 +88,7 @@ class _HLLKind(_Kind):
         frame["__i"] = idx
         frame["__r"] = rho
         for key, g in frame.groupby(by, sort=False, dropna=False):
-            key = key if isinstance(key, tuple) else (key,)
+            key = canon_key(key if isinstance(key, tuple) else (key,))
             sk = accs.setdefault(key, {})
             obj = sk.get(name) or HLL(p)
             np.maximum.at(obj.registers, g["__i"].to_numpy(), g["__r"].to_numpy())
@@ -238,7 +239,9 @@ def sketch_build(
                 # the key scalars are identical to the update paths')
                 keys = pdf.groupby(by, sort=False, dropna=False).size().index
                 for key in keys:
-                    accs.setdefault(key if isinstance(key, tuple) else (key,), {})
+                    accs.setdefault(
+                        canon_key(key if isinstance(key, tuple) else (key,)), {}
+                    )
             for name, (kind, _col, params) in fast_specs.items():
                 val, _aux = in_col[name]
                 KINDS[kind].grouped_update(accs, name, pdf, by, val, params)
@@ -247,7 +250,7 @@ def sketch_build(
                     pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
                 )
                 for key, g in groups:
-                    key = key if isinstance(key, tuple) else (key,)
+                    key = canon_key(key if isinstance(key, tuple) else (key,))
                     sk = accs.setdefault(key, {})
                     for name, (kind, _col, params) in slow_specs.items():
                         obj = sk.get(name) or KINDS[kind].new(params)
@@ -355,17 +358,23 @@ def sketch_merge_agg(
         return acc.to_bytes()
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        accs: dict[tuple, dict[str, bytes]] = {}
+        # accumulators hold LIVE sketch objects, serialized once at
+        # yield — round-tripping the accumulator through bytes per
+        # (batch x group x column) would be pure serialization churn
+        # (a 128 KB Bloom re-encoded every Arrow batch)
+        accs: dict[tuple, dict[str, object]] = {}
         for pdf in batches:
             groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
             for key, g in groups:
-                key = key if isinstance(key, tuple) else (key,)
-                sk = accs.get(key)
+                key = canon_key(key if isinstance(key, tuple) else (key,))
+                sk = accs.setdefault(key, {})
                 for c in cols:
-                    blobs = list(g[c])
-                    if sk is not None and c in sk:
-                        blobs.append(sk[c])
-                    accs.setdefault(key, {})[c] = _merge_col(kinds[c], blobs)
+                    acc = sk.get(c)
+                    for b in g[c]:
+                        obj = _CLS[kinds[c]].from_bytes(bytes(b))
+                        acc = obj if acc is None else acc.merge(obj)
+                    if acc is not None:
+                        sk[c] = acc
         if not accs:
             return
         data: dict[str, list] = {c: [] for c in by}
@@ -375,7 +384,7 @@ def sketch_merge_agg(
             for c, k in zip(by, key):
                 data[c].append(k)
             for c in cols:
-                data[c].append(sk[c])
+                data[c].append(sk[c].to_bytes())
         yield pd.DataFrame(data)
 
     if strategy == "rows":

@@ -329,8 +329,8 @@ def td_highcard_sql_build_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     """The all-JVM build engine through the oracle gate at HIGH group
     cardinality (1e4 groups — the regime it exists for): lossless
     per-group medians == quantile_cont, folded to one row with
-    DECIMAL sums (exact, order-independent — a double sum over 1e4
-    groups would hash-drift on partition order)."""
+    scaled-BIGINT checksums (exact, order-independent — a double sum
+    over 1e4 groups would hash-drift on partition order)."""
     li = load(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 10_000).alias("g"), "l_extendedprice"
     )

@@ -369,3 +369,37 @@ def test_sketch_build_all_null_group_emits_empty(spark):
         }
         assert set(r) == {"a", "b"}, (strat, r)
         assert r["b"] == 0.0 and r["a"] >= 1.0, (strat, r)
+
+
+def test_rows_strategy_nan_group_key_single_row(spark):
+    """A float-NaN group key must yield ONE output row under
+    strategy='rows' (no downstream Spark merge to collapse duplicates):
+    the all-NULL-group registration and the HLL grouped update both
+    canonicalize NaN keys to one shared instance, so the dict key
+    matches across the two code paths."""
+    # the NaN must be a real SQL NaN (createDataFrame maps pandas NaN
+    # to NULL): sqrt(-1) evaluates to NaN in Spark SQL
+    df = (
+        spark.range(5)
+        .select(
+            F.when(F.col("id") <= 1, 1.0)
+            .when(F.col("id") <= 3, F.sqrt(F.lit(-1.0)))
+            .otherwise(2.0)
+            .alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .coalesce(1)
+    )
+    built = sketch_build(df, {"h": ("hll", "v", 12)}, by=["g"], strategy="rows")
+    rows = built.collect()
+    assert len(rows) == 3, rows  # groups 1.0, 2.0, NaN — one row each
+    from tdigest_spark.sketch.hll import HLL
+
+    by_key = {}
+    for r in rows:
+        # Arrow round-trips may surface the NaN key as NaN or as null;
+        # either way it must be ONE row
+        k = "nan" if (r["g"] is None or r["g"] != r["g"]) else r["g"]
+        assert k not in by_key, f"duplicate group row for key {k}"
+        by_key[k] = round(HLL.from_bytes(bytes(r["h"])).estimate())
+    assert by_key["nan"] == 2 and by_key[1.0] == 2 and by_key[2.0] == 1

@@ -502,3 +502,72 @@ def test_weighted_sql_build_equals_pandas_lossless(spark):
     ra = {r["g"]: tuple(r[c] for c in spec) for r in a.collect()}
     rb = {r["g"]: tuple(r[c] for c in spec) for r in b.collect()}
     assert ra == rb and len(ra) == 2
+
+
+def test_keyless_sql_merge_two_level(spark, events):
+    """Keyless tdigest_merge_agg_sql (the cube/rollup grand-total path)
+    must pre-cluster within salt buckets so no single window task sorts
+    every leaf centroid: the plan carries a Window partitioned by the
+    salt column, and the lossless result still equals the pandas global
+    merge exactly."""
+    from tdigest_spark.operators.digest_agg import (
+        tdigest_merge_agg,
+        tdigest_merge_agg_sql,
+    )
+
+    leaf = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    m_sql = tdigest_merge_agg_sql(leaf.drop("event_type"), by=[])
+    plan = m_sql._jdf.queryExecution().executedPlan().toString()
+    assert "__td_msalt" in plan, plan  # pre-cluster level present
+    m_py = tdigest_merge_agg(leaf.drop("event_type"), by=[])
+    spec = {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99),
+            "n": ("total_weight",)}
+    a = tdigest_stats(m_sql, spec).collect()[0]
+    b = tdigest_stats(m_py, spec).collect()[0]
+    assert a["n"] == b["n"]
+    assert a["p50"] == pytest.approx(b["p50"], abs=1e-9)
+    assert a["p99"] == pytest.approx(b["p99"], abs=1e-9)
+
+
+def test_keyless_sql_merge_compressed_within_bound(spark, events):
+    """Two-level keyless merge at a REAL delta: the working-delta
+    intermediate plus final public-delta pass stays within the k1
+    rank-error bound and the public centroid budget."""
+    import duckdb as _duck
+
+    from tdigest_spark.operators.digest_agg import tdigest_merge_agg_sql
+
+    leaf = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    m = tdigest_merge_agg_sql(leaf.drop("event_type"), by=[], delta=100)
+    row = m.collect()[0]["digest"]
+    assert len(row["means"]) <= 202
+    assert list(row["means"]) == sorted(row["means"])
+    est = tdigest_stats(m, {"p50": ("quantile", 0.5)}).collect()[0]["p50"]
+    vals = np.sort(events.select("value").toPandas()["value"].to_numpy())
+    lo = np.searchsorted(vals, est, side="left") / len(vals)
+    hi = np.searchsorted(vals, est, side="right") / len(vals)
+    assert (lo <= 0.5 <= hi) or min(abs(0.5 - lo), abs(0.5 - hi)) <= 0.02
+
+
+def test_sql_build_drops_nan_and_bad_weights(spark):
+    """build_engine='sql' must apply the exact from_values filter: NaN
+    values and NULL/NaN/non-positive weights are dropped, matching the
+    pandas engine bit-for-bit in lossless mode."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "g": ["a"] * 8 + ["b"] * 8,
+        "v": [1.0, 2.0, float("nan"), 4.0, 5.0, 6.0, 7.0, 8.0] * 2,
+        "w": [1.0, 0.0, 2.0, -3.0, float("nan"), 2.0, None, 1.0] * 2,
+    })
+    df = spark.createDataFrame(rows).repartition(3)
+    spec = {"p50": ("quantile", 0.5), "tw": ("total_weight",)}
+    a = tdigest_stats(
+        tdigest_agg(df, "v", by=["g"], delta=LOSSLESS, weight_col="w",
+                    build_engine="sql"), spec)
+    b = tdigest_stats(
+        tdigest_agg(df, "v", by=["g"], delta=LOSSLESS, weight_col="w"), spec)
+    ra = {r["g"]: (r["p50"], r["tw"]) for r in a.collect()}
+    rb = {r["g"]: (r["p50"], r["tw"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 2
+    assert ra["a"][1] == 4.0  # surviving rows (v,w) = (1,1),(6,2),(8,1)
