@@ -34,6 +34,10 @@ __all__ = [
     "with_ivf_cell",
     "ivf_topk",
     "build_ivf_index",
+    "append_ivf_index",
+    "ivf_cell_stats",
+    "ivf_retrain_needed",
+    "refresh_ivf_index",
     "ivf_topk_indexed",
 ]
 
@@ -340,17 +344,103 @@ def build_ivf_index(
     from tdigest_spark.sources.catalog import write_table
 
     C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
-    cells = with_ivf_cell(with_norm(corpus, vec_col), vec_col, C, nprobe=1)
-    tbl = cells.select(
+    tbl = _assign_index_rows(corpus, id_col, vec_col, C)
+    fmt = write_table(tbl, index_dir, partition_by=("cell",))
+    with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    return fmt
+
+
+def _assign_index_rows(
+    rows: DataFrame, id_col: str, vec_col: str, C: np.ndarray
+) -> DataFrame:
+    """(id, vec, norm, cell) index rows: each vector assigned its
+    single nearest coarse cell against centroid matrix ``C``."""
+    cells = with_ivf_cell(with_norm(rows, vec_col), vec_col, C, nprobe=1)
+    return cells.select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         F.col("__norm").alias("norm"),
         F.col("cell")[0].alias("cell"),
     )
-    fmt = write_table(tbl, index_dir, partition_by=("cell",))
-    with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
-        json.dump(C.tolist(), f)
-    return fmt
+
+
+def _load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def append_ivf_index(
+    new_rows: DataFrame, id_col: str, vec_col: str, index_dir: str
+) -> None:
+    """Append rows to a persisted IVF index WITHOUT retraining: new
+    vectors are assigned to the EXISTING coarse cells (centroid sidecar
+    is read, not refit) and appended into the cell-partitioned table —
+    only the touched cell partitions gain files, and searches see the
+    new rows through the same PartitionFilters-pruned scan. The coarse
+    quantizer drifts as the corpus grows; monitor with
+    :func:`ivf_retrain_needed` and rebuild via :func:`refresh_ivf_index`
+    when it fires."""
+    from tdigest_spark.sources.catalog import write_table
+
+    C = _load_ivf_centroids(index_dir)
+    tbl = _assign_index_rows(new_rows, id_col, vec_col, C)
+    write_table(tbl, index_dir, mode="append", partition_by=("cell",))
+
+
+def ivf_cell_stats(spark, index_dir: str, fmt: str | None = None) -> DataFrame:
+    """Per-cell row counts of a persisted index (drift observability):
+    (cell, n_rows). Scans only parquet/Iceberg metadata-light counts —
+    O(cells) output."""
+    from tdigest_spark.sources.catalog import read_table
+
+    idx = read_table(spark, index_dir, fmt=fmt)
+    return idx.groupBy("cell").agg(F.count("*").alias("n_rows"))
+
+
+def ivf_retrain_needed(
+    spark, index_dir: str, fmt: str | None = None, imbalance: float = 4.0
+) -> bool:
+    """Retrain trigger by cell-size drift: True when the largest cell
+    holds more than ``imbalance`` times the mean cell load (or cells
+    have emptied). A freshly trained spherical k-means keeps cells
+    near-even on its training distribution; appended data drifting
+    toward a few cells degrades probe pruning (one hot cell ~= a full
+    scan), which is exactly when :func:`refresh_ivf_index` pays off."""
+    sizes = ivf_cell_stats(spark, index_dir, fmt=fmt).collect()
+    nlist = _load_ivf_centroids(index_dir).shape[0]
+    if not sizes:
+        return False
+    counts = [r["n_rows"] for r in sizes]
+    mean = sum(counts) / nlist
+    return len(sizes) < nlist or max(counts) > imbalance * mean
+
+
+def refresh_ivf_index(
+    spark,
+    index_dir: str,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    nlist: int | None = None,
+    seed: int = 7,
+    fmt: str | None = None,
+) -> str:
+    """Rebuild (retrain) a drifted index from its CURRENT contents into
+    ``out_dir``: re-trains the coarse quantizer on the live corpus and
+    re-assigns every row. Writes to a NEW directory — swap the pointer
+    after the build so concurrent readers never see a half-written
+    index (same atomic-snapshot discipline as the streaming sink)."""
+    from tdigest_spark.sources.catalog import read_table
+
+    idx = read_table(spark, index_dir, fmt=fmt)
+    corpus = idx.select(F.col(id_col), F.col("vec").alias(vec_col))
+    if nlist is None:
+        nlist = _load_ivf_centroids(index_dir).shape[0]
+    return build_ivf_index(corpus, id_col, vec_col, out_dir, nlist=nlist, seed=seed)
 
 
 def ivf_topk_indexed(
@@ -373,13 +463,9 @@ def ivf_topk_indexed(
     ``cosine_topk``). ``nprobe >= nlist`` is exhaustive == brute force.
     Output: (query_id, rank, id, cosine) — same shape as cosine_topk.
     """
-    import json
-    import os
-
     from tdigest_spark.sources.catalog import read_table
 
-    with open(os.path.join(index_dir, "_centroids.json")) as f:
-        C = np.asarray(json.load(f), dtype=np.float64)
+    C = _load_ivf_centroids(index_dir)
     nlist = C.shape[0]
     nprobe = min(nprobe, nlist)
 

@@ -39,6 +39,8 @@ __all__ = [
     "sketch_estimates",
     "bloom_probe",
     "cms_probe",
+    "cms_grouped_build",
+    "cms_grouped_probe",
     "sketch_agg",
     "hll_overlap",
 ]
@@ -194,8 +196,9 @@ def sketch_build(
     WIDE sketches (CMS ~50 KB, Bloom ~128 KB at defaults) should not be
     built per-group at high group cardinality under EITHER strategy —
     the output alone is groups x blob bytes. For per-group frequency at
-    1e5+ groups, sketch ONE global CMS over the concatenated
-    ``(group, key)`` pair and probe with concatenated keys instead.
+    1e5+ groups use :func:`cms_grouped_build` / :func:`cms_grouped_probe`,
+    which sketch ONE global CMS over the concatenated ``(group, key)``
+    pair and probe with the same concatenation.
     """
     by = list(by)
     specs = _norm_specs(specs)
@@ -542,6 +545,55 @@ def cms_probe(
     return _probe(
         probes, sketches, "cms", sketch_col, key_col, out_col, T.LongType(),
         lambda o, s: [int(x) for x in o.query(s.to_numpy())], by, null_result=0,
+    )
+
+
+def _composite_key(cols: Sequence[str]):
+    """Unambiguous (group..., key) concatenation for wide-sketch
+    composition: unit-separator join with an explicit NUL sentinel for
+    NULLs. ``concat_ws`` alone would silently DROP nulls, aliasing
+    ('a', NULL, 'b') with ('a', 'b', NULL)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    return F.concat_ws("\x1f", *parts)
+
+
+def cms_grouped_build(
+    df: DataFrame,
+    key_col: str,
+    by: Sequence[str],
+    eps: float = 0.001,
+    delta: float = 0.01,
+    out_col: str = "cms",
+) -> DataFrame:
+    """Per-group frequency sketching at HIGH group cardinality: ONE
+    global count-min over the concatenated ``(by..., key)`` pair — the
+    wide-sketch composition the :func:`sketch_build` docstring
+    prescribes, as an operator instead of guidance. A per-group CMS at
+    1e5+ groups costs groups x ~50 KB of output alone; this costs ONE
+    blob with the identical one-sided guarantee, except the ``eps*N``
+    overcount bound is relative to the GLOBAL total N (all groups'
+    mass), not the per-group total — size ``eps`` for the global N.
+    Probe with :func:`cms_grouped_probe` (same concatenation on the
+    probe side). Returns a single-row DataFrame (``out_col`` blob)."""
+    keyed = df.select(_composite_key([*by, key_col]).alias("__gk"))
+    return sketch_build(keyed, {out_col: ("cms", "__gk", eps, delta)})
+
+
+def cms_grouped_probe(
+    probes: DataFrame,
+    sketches: DataFrame,
+    key_col: str,
+    by: Sequence[str],
+    sketch_col: str = "cms",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-query a :func:`cms_grouped_build` sketch: each probe row's
+    ``(by..., key)`` is concatenated Spark-side exactly like the build
+    side, so est_count >= the true (group, key) count with the CMS
+    eps*N_global overcount bound."""
+    keyed = probes.withColumn("__gk", _composite_key([*by, key_col]))
+    return cms_probe(keyed, sketches, "__gk", sketch_col, by=(), out_col=out_col).drop(
+        "__gk"
     )
 
 

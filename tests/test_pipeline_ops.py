@@ -360,3 +360,65 @@ def test_candidate_generation_plans_no_cartesian(spark, corpus, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_ivf_index_append_refresh_and_drift(spark, sf_dir, tmp_path):
+    """Index maintenance: rows appended WITHOUT retraining are assigned
+    to existing cells and found by search through the same
+    partition-pruned scan; skewed growth trips the retrain trigger; a
+    refresh rebuilds into a fresh directory that searches correctly."""
+    import re
+
+    from tdigest_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        ivf_retrain_needed,
+        ivf_topk_indexed,
+        refresh_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    extra = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "ivf_idx")
+    fmt = build_ivf_index(base, "vec_id", "embedding", index_dir, nlist=8, seed=7)
+    assert not ivf_retrain_needed(spark, index_dir, fmt=fmt)
+
+    append_ivf_index(extra, "vec_id", "embedding", index_dir)
+    queries = emb.where(F.col("vec_id") % 150 == 0)
+    got = ivf_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=8, fmt=fmt
+    )
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert g == e  # appended odd ids are reachable (they appear in exact top-3)
+    assert any(v % 2 == 1 for v in g.values())
+
+    pruned = ivf_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=2, fmt=fmt
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*cell[^]]*IN \(", plan), plan
+
+    # skewed growth: pile one direction into the index -> hot cell
+    one = emb.where(F.col("vec_id") == 2).select("embedding").first()["embedding"]
+    skew = spark.range(4000).select(
+        (F.col("id") + 500_000).alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in one]).alias("embedding"),
+    )
+    append_ivf_index(skew, "vec_id", "embedding", index_dir)
+    assert ivf_retrain_needed(spark, index_dir, fmt=fmt)
+
+    # refresh into a NEW dir (pointer-swap discipline), search still exact
+    out_dir = str(tmp_path / "ivf_idx_v2")
+    fmt2 = refresh_ivf_index(spark, index_dir, out_dir, "vec_id", "embedding", fmt=fmt)
+    got2 = ivf_topk_indexed(
+        spark, out_dir, queries, "vec_id", "embedding", k=3, nprobe=8, fmt=fmt2
+    )
+    full = emb.unionByName(skew)
+    exact2 = cosine_topk(full, queries, "vec_id", "embedding", k=3)
+    g2 = {(r["query_id"], r["rank"]): r["vec_id"] for r in got2.collect()}
+    e2 = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact2.collect()}
+    assert g2 == e2

@@ -403,3 +403,34 @@ def test_rows_strategy_nan_group_key_single_row(spark):
         assert k not in by_key, f"duplicate group row for key {k}"
         by_key[k] = round(HLL.from_bytes(bytes(r["h"])).estimate())
     assert by_key["nan"] == 2 and by_key[1.0] == 2 and by_key[2.0] == 1
+
+
+def test_cms_grouped_build_probe_bound(spark):
+    """The wide-sketch composition (ONE global CMS over concatenated
+    (group, key)): estimates are one-sided (est >= exact, always) and
+    within eps * N_global overcount; NULL groups/keys do not alias
+    empty strings."""
+    from tdigest_spark.operators.sketch_agg import (
+        cms_grouped_build,
+        cms_grouped_probe,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 500).cast("string").alias("g"),
+        # NULL keys planted every 1000th row: must count as their own
+        # key, not alias the empty string
+        F.when(F.col("id") % 1000 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 37)))
+        .alias("k"),
+    )
+    eps = 1e-4
+    sk = cms_grouped_build(df, "k", by=["g"], eps=eps, delta=0.01)
+    exact = df.groupBy("g", "k").agg(F.count("*").alias("exact"))
+    probed = cms_grouped_probe(exact, sk, "k", by=["g"])
+    rows = probed.collect()
+    assert len(rows) == exact.count()
+    bound = eps * n
+    for r in rows:
+        assert r["est_count"] >= r["exact"], r
+        assert r["est_count"] <= r["exact"] + max(1.0, bound), r
