@@ -11,8 +11,9 @@ emitted pairs are *exact-Jaccard verified*, so the oracle can check
 them against an exhaustive all-pairs Jaccard in SQL — a miss by LSH
 would surface as a row-set mismatch. (At the declared thresholds the
 analytic miss probability is ~1e-5 and the pipeline is deterministic,
-so the check is stable.) SimHash has no cross-engine hash, so it gets
-a rows-only check here and property tests in pytest.
+so the check is stable.) SimHash has no cross-engine hash, so its
+oracle query pins the hamming=0 retrieval to the SQL identical-text
+pair set; the banded hamming<=3 behavior is property-tested in pytest.
 """
 
 from __future__ import annotations
@@ -55,21 +56,20 @@ _AUG_SQL = """
 """
 
 
-def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang corpus size before/after exact dedup."""
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup end-to-end (consolidates round-2's dd_exact_stats +
+    dd_exact_survivors under the 50-row budget): per-lang corpus size
+    before/after, plus an order-free BIGINT checksum of the surviving
+    doc_ids — the id sum pins the keep='min' survivor CHOICE exactly
+    (any wrong survivor shifts the sum), at aggregate row count."""
     corpus = _augmented(spark, sf_dir)
     deduped = exact_dedup(corpus, ["text"], "doc_id", keep="min")
     total = corpus.groupBy("lang").agg(F.count("*").alias("n_total"))
-    kept = deduped.groupBy("lang").agg(F.count("*").alias("n_unique"))
-    return total.join(kept, "lang")
-
-
-def dd_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Surviving doc ids (deterministic: min id per identical text)."""
-    corpus = _augmented(spark, sf_dir)
-    return exact_dedup(corpus, ["text"], "doc_id", keep="min").select(
-        "doc_id", "lang"
+    kept = deduped.groupBy("lang").agg(
+        F.count("*").alias("n_unique"),
+        F.sum("doc_id").cast("long").alias("survivor_id_sum"),
     )
+    return total.join(kept, "lang")
 
 
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,21 +96,16 @@ def dd_ngram_jaccard_known_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 of 64) — rows-only check
-    (hash not reproducible cross-engine); properties in pytest."""
-    corpus = _augmented(spark, sf_dir)
-    sigs = simhash_signatures(corpus, "doc_id", "text")
-    return simhash_pairs(sigs, "doc_id", max_hamming=3)
-
-
 def dd_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash retrieval of the planted EXACT duplicates, oracle-checked:
     identical text implies identical signature (hamming 0, found by
     every pigeonhole band), and a text-equality post-filter removes any
     hash collision — so the result set provably equals the SQL
     identical-text pair set, oracle-checking the simhash plumbing
-    without cross-engine hash parity."""
+    without cross-engine hash parity. (The hamming<=3 banded variant —
+    round-2's rows-only dd_simhash_pairs — has no cross-engine hash,
+    so it lives in pytest: capped/uncapped degenerate-bucket and
+    pigeonhole-recall tests in test_pipeline_ops.py.)"""
     corpus = _augmented(spark, sf_dir)
     sigs = simhash_signatures(corpus, "doc_id", "text")
     cand = simhash_pairs(sigs, "doc_id", max_hamming=0)
@@ -139,11 +134,9 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "dd_exact_stats": dd_exact_stats,
-    "dd_exact_survivors": dd_exact_survivors,
+    "dd_exact_dedup": dd_exact_dedup,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_ngram_jaccard_known_pairs": dd_ngram_jaccard_known_pairs,
-    "dd_simhash_pairs": dd_simhash_pairs,
     "dd_simhash_exact_pairs": dd_simhash_exact_pairs,
     "dd_dup_clusters": dd_dup_clusters,
 }
@@ -156,18 +149,16 @@ _SHINGLE_SQL = """
 """
 
 ORACLES = {
-    "dd_exact_stats": f"""
+    "dd_exact_dedup": f"""
         WITH corpus AS ({_AUG_SQL}),
         kept AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text)
         SELECT c.lang, count(*) AS n_total,
                count(*) FILTER (WHERE c.doc_id IN (SELECT doc_id FROM kept))
-                   AS n_unique
+                   AS n_unique,
+               sum(c.doc_id) FILTER (
+                   WHERE c.doc_id IN (SELECT doc_id FROM kept)
+               )::BIGINT AS survivor_id_sum
         FROM corpus c GROUP BY c.lang
-    """,
-    "dd_exact_survivors": f"""
-        WITH corpus AS ({_AUG_SQL})
-        SELECT doc_id, lang FROM corpus
-        WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
     """,
     "dd_minhash_pairs": f"""
         WITH corpus AS ({_AUG_SQL}),
@@ -233,7 +224,6 @@ ORACLES = {
         SELECT u AS doc_id, least(u, min(v)) AS component
         FROM reach GROUP BY u
     """,
-    # dd_simhash_pairs: intentionally no oracle (engine-specific hash)
     "dd_simhash_exact_pairs": f"""
         WITH corpus AS ({_AUG_SQL})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -37,26 +37,40 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media(spark, N_MEDIA).where(F.col("kind") == "image")
-    small = resize_media(media, scale=2)
-    return small.select(
+def mm_transform_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Arrow-batched transform operators in one driver row set
+    (consolidates round-2's mm_resize_meta + mm_frame_sample under the
+    50-row budget): image rows go through ``resize_media`` (payload +
+    metadata updated consistently), audio rows through
+    ``sample_frames`` (every-2nd-frame kept, checksum of kept bytes);
+    the union carries NULLs in the other operator's columns."""
+    media = synth_media(spark, N_MEDIA)
+    small = resize_media(media.where(F.col("kind") == "image"), scale=2).select(
         "media_id",
         F.col("meta.width").alias("new_width"),
         F.col("meta.height").alias("new_height"),
         F.length("payload").alias("n_bytes"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("n_kept"),
+        F.lit(None).cast("long").alias("kept_checksum"),
     )
-
-
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media(spark, N_MEDIA).where(F.col("kind") == "audio")
-    return sample_frames(media, frame_bytes=16, every=2)
+    frames = sample_frames(
+        media.where(F.col("kind") == "audio"), frame_bytes=16, every=2
+    ).select(
+        "media_id",
+        F.lit(None).cast("int").alias("new_width"),
+        F.lit(None).cast("int").alias("new_height"),
+        F.lit(None).cast("int").alias("n_bytes"),
+        "n_frames",
+        "n_kept",
+        "kept_checksum",
+    )
+    return small.unionByName(frames)
 
 
 QUERIES = {
     "mm_decode_features": mm_decode_features,
-    "mm_resize_meta": mm_resize_meta,
-    "mm_frame_sample": mm_frame_sample,
+    "mm_transform_meta": mm_transform_meta,
 }
 
 ORACLES = {
@@ -70,20 +84,22 @@ ORACLES = {
                list_max({_CODES}) AS max_byte
         FROM codes
     """,
-    "mm_resize_meta": f"""
-        WITH media AS ({_DUCK})
-        SELECT media_id,
-               cast((width + 1) // 2 AS INT) AS new_width,
-               cast(height AS INT) AS new_height,
-               cast(((width + 1) // 2) * height AS INT) AS n_bytes
-        FROM media WHERE kind = 'image'
-    """,
-    "mm_frame_sample": f"""
+    "mm_transform_meta": f"""
         WITH media AS ({_DUCK}),
         f AS (SELECT media_id, decode(payload) AS p,
                      octet_length(payload) // 16 AS n_full
               FROM media WHERE kind = 'audio')
         SELECT media_id,
+               cast((width + 1) // 2 AS INT) AS new_width,
+               cast(height AS INT) AS new_height,
+               cast(((width + 1) // 2) * height AS INT) AS n_bytes,
+               cast(NULL AS INT) AS n_frames,
+               cast(NULL AS INT) AS n_kept,
+               cast(NULL AS BIGINT) AS kept_checksum
+        FROM media WHERE kind = 'image'
+        UNION ALL
+        SELECT media_id,
+               cast(NULL AS INT), cast(NULL AS INT), cast(NULL AS INT),
                cast(n_full AS INT) AS n_frames,
                cast((n_full + 1) // 2 AS INT) AS n_kept,
                coalesce(list_sum(

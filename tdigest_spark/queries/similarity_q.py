@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tdigest_spark.operators.similarity import cosine_topk, ivf_topk, lsh_neardup_pairs
+from tdigest_spark.operators.similarity import cosine_topk, lsh_neardup_pairs
 from tdigest_spark.sources.tables import load
 
 
@@ -44,25 +44,14 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (coarse-quantizer) top-3 for every 150th vector, run in the
-    exhaustive nprobe=nlist configuration so the result is provably the
-    brute-force answer (hash-matches the exact SQL oracle); pruned
-    nprobe<nlist recall is property-tested in test_pipeline_ops.py."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.where(F.col("vec_id") % 150 == 0)
-    out = ivf_topk(emb, queries, "vec_id", "embedding", k=3, nlist=8, nprobe=8)
-    return out.select(
-        "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
-    )
-
-
 def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF-index search (build once into a cell-partitioned
     table, probe with scan-time partition pruning), run exhaustively
     (nprobe = nlist) so the result provably equals brute force and
-    hash-matches the SQL oracle; pruned-probe recall and the
-    partition-filter plan are covered in test_pipeline_ops.py."""
+    hash-matches the SQL oracle; pruned-probe recall, the
+    partition-filter plan, and the in-memory (non-persisted)
+    ``ivf_topk`` variant — round-2's sim_ivf_topk — are covered in
+    test_pipeline_ops.py."""
     import tempfile
 
     from tdigest_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
@@ -95,7 +84,6 @@ def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_topk_exact": sim_topk_exact,
     "sim_lsh_neardup": sim_lsh_neardup,
-    "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_indexed_topk": sim_ivf_indexed_topk,
     "sim_dup_clusters": sim_dup_clusters,
 }
@@ -124,22 +112,6 @@ ORACLES = {
                                         q.embedding::DOUBLE[]) AS cos
           FROM embeddings c
           JOIN embeddings q ON q.vec_id % 180 = 0 AND c.vec_id <> q.vec_id
-        ), ranked AS (
-          SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, vec_id ASC) AS rank
-          FROM scored
-        )
-        SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
-        FROM ranked WHERE rank <= 3
-    """,
-    "sim_ivf_topk": """
-        WITH scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                 list_cosine_similarity(c.embedding::DOUBLE[],
-                                        q.embedding::DOUBLE[]) AS cos
-          FROM embeddings c
-          JOIN embeddings q ON q.vec_id % 150 = 0 AND c.vec_id <> q.vec_id
         ), ranked AS (
           SELECT query_id, vec_id, cos,
                  row_number() OVER (PARTITION BY query_id

@@ -29,23 +29,6 @@ _HLL_P = 12
 _HLL_3SIG = 3 * 1.04 / float(np.sqrt(1 << _HLL_P))
 
 
-def sk_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    built = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang"])
-    est = sketch_estimates(built, {"n_distinct_est": ("hll_estimate", "h")})
-    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
-    return (
-        est.join(exact, "lang")
-        .select(
-            "lang",
-            "exact_distinct",
-            (
-                F.abs(F.col("n_distinct_est") / F.col("exact_distinct") - 1) < _HLL_3SIG
-            ).alias("est_ok"),
-        )
-    )
-
-
 def sk_hll_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-check shape: estimated overlap between each lang's
     text set and a global 'benchmark' sample (docs with doc_id%5==0)
@@ -185,7 +168,9 @@ def sk_hll_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count rollup WITHOUT rescanning: per-(lang, source) HLL
     blobs built once, per-lang distincts derived by register-max merge
     (``sketch_merge_agg``) — the checkpoint-table rollup pattern at
-    100 TB. Estimate asserted within the 3-sigma HLL bound."""
+    100 TB. Estimate asserted within the 3-sigma HLL bound. (Subsumes
+    round-2's sk_hll_distinct_docs: the rolled-up per-lang estimate IS
+    the per-group distinct, checked against the same exact counts.)"""
     docs = load(spark, sf_dir, "documents")
     fine = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang", "source"])
     rolled = sketch_merge_agg(fine, {"h": "hll"}, by=["lang"])
@@ -209,42 +194,76 @@ def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sk_topk_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-pruned heavy hitters: top-8 document sources with
-    exact counts — the count shuffle carries only the O(partitions x m)
-    candidate set, not the full domain. Deterministic tie-break
-    (count desc, value asc) makes it hash-match the SQL top-k."""
-    from tdigest_spark.operators.topk import approx_topk
-
-    docs = load(spark, sf_dir, "documents")
-    return approx_topk(docs, "source", k=8)
-
-
 def sk_topk_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped heavy hitters: top-3 sources per lang, exact counts."""
+    """Grouped heavy hitters: top-3 sources per lang, exact counts from
+    the candidate-pruned recount (the count shuffle carries only the
+    O(partitions x m) Misra-Gries candidate set, not the full domain);
+    deterministic tie-break (count desc, value asc) hash-matches the
+    SQL top-k. (The global ungrouped variant — round-2's
+    sk_topk_sources_docs — is the same operator with by=[], covered by
+    test_approx_topk_zipf_high_cardinality.)"""
     from tdigest_spark.operators.topk import approx_topk
 
     docs = load(spark, sf_dir, "documents")
     return approx_topk(docs, "source", k=3, by=["lang"])
 
 
+def sk_cms_grouped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-sketch composition at HIGH group cardinality: ONE
+    global CMS over the concatenated (group, key) pair — 1e4 groups x 3
+    return flags — probed back for a sample of pairs against exact SQL
+    counts. est >= exact is the CMS deterministic one-sided guarantee
+    (catches missed updates); est <= exact + eps*N_global is the
+    published overcount bound. A per-group CMS here would cost
+    3e4 x ~50 KB of blobs; this is ONE blob."""
+    from tdigest_spark.operators.sketch_agg import (
+        cms_grouped_build,
+        cms_grouped_probe,
+    )
+
+    eps = 1e-4
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 10_000).alias("g"), "l_returnflag"
+    )
+    sk = cms_grouped_build(li, "l_returnflag", by=["g"], eps=eps, delta=0.01)
+    n_total = li.count()
+    probes = (
+        li.where(F.col("g") % 20 == 0)
+        .groupBy("g", "l_returnflag")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    est = cms_grouped_probe(probes, sk, "l_returnflag", by=["g"])
+    bound = F.greatest(F.lit(1.0), F.lit(eps * n_total))
+    return est.select(
+        "g",
+        "l_returnflag",
+        "exact_count",
+        (
+            (F.col("est_count") >= F.col("exact_count"))
+            & (F.col("est_count") <= F.col("exact_count") + bound)
+        ).alias("cms_ok"),
+    )
+
+
 QUERIES = {
-    "sk_hll_distinct_docs": sk_hll_distinct_docs,
     "sk_hll_overlap_docs": sk_hll_overlap_docs,
     "sk_kll_quantiles_docs": sk_kll_quantiles_docs,
     "sk_bloom_membership_docs": sk_bloom_membership_docs,
     "sk_kll_weighted_cdf_lineitem": sk_kll_weighted_cdf_lineitem,
     "sk_cms_source_counts": sk_cms_source_counts,
+    "sk_cms_grouped_lineitem": sk_cms_grouped_lineitem,
     "sk_hll_global_events": sk_hll_global_events,
     "sk_hll_rollup_docs": sk_hll_rollup_docs,
-    "sk_topk_sources_docs": sk_topk_sources_docs,
     "sk_topk_sources_by_lang": sk_topk_sources_by_lang,
 }
 
 ORACLES = {
-    "sk_hll_distinct_docs": """
-        SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
-        FROM documents GROUP BY lang
+    "sk_cms_grouped_lineitem": """
+        SELECT l_orderkey % 10000 AS g, l_returnflag,
+               count(*) AS exact_count, true AS cms_ok
+        FROM lineitem
+        WHERE (l_orderkey % 10000) % 20 = 0
+        GROUP BY 1, 2
     """,
     "sk_hll_overlap_docs": """
         SELECT lang, count(DISTINCT text) AS exact_overlap, true AS overlap_ok
@@ -295,13 +314,6 @@ ORACLES = {
     "sk_hll_rollup_docs": """
         SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
         FROM documents GROUP BY lang
-    """,
-    "sk_topk_sources_docs": """
-        SELECT source, cnt, rank FROM (
-          SELECT source, count(*) AS cnt,
-                 row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rank
-          FROM documents GROUP BY source
-        ) WHERE rank <= 8
     """,
     "sk_topk_sources_by_lang": """
         SELECT lang, source, cnt, rank FROM (

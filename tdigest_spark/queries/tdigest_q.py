@@ -6,7 +6,7 @@ operating point of the sketch) so the DuckDB oracle comparison is an
 exact value-hash match; approximate operation at real compression
 levels is covered by rank-error pytest assertions
 (tests/test_tdigest_core.py, tests/test_tdigest_spark.py) and by the
-rows-only `td_p99_compressed` query below.
+bound-boolean `td_p99_compressed` query below.
 
 Float outputs are rounded identically on both sides (driver hashes
 values; see SURVEY.md §5).
@@ -34,13 +34,34 @@ def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
     return df
 
 
-def td_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def td_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scalar-stats surface in ONE fused pass per group:
+    median (``quantile``), ``mean``/``variance``/``stddev`` (incl. the
+    reference's NonEmpty missing-sqrt fix), ``total_weight``, exact
+    running ``vmin``/``vmax`` — every stat the reference's Postprocess
+    module exposes, from one lossless digest, hash-exact vs SQL.
+    (Consolidates round-2's td_median_events + td_moments_events +
+    td_count_minmax_events under the driver's 50-row budget.)"""
     dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
-    out = tdigest_stats(dig, {"median_value": ("quantile", 0.5)})
-    return _round(out, {"median_value": 4})
+    out = tdigest_stats(
+        dig,
+        {
+            "median_value": ("quantile", 0.5),
+            "mean_value": ("mean",),
+            "var_value": ("variance",),
+            "std_value": ("stddev",),
+            "n_values": ("total_weight",),
+            "min_value": ("vmin",),
+            "max_value": ("vmax",),
+        },
+    )
+    out = _round(out, {"median_value": 4, "mean_value": 4, "var_value": 3, "std_value": 4})
+    return out.withColumn("n_values", F.col("n_values").cast("long"))
 
 
 def td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile ladder + trimmed mean (advertised-but-missing in the
+    reference, ``tdigest/README.md:3``) from one lossless digest."""
     dig = tdigest_agg(
         load(spark, sf_dir, "lineitem"), "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS
     )
@@ -51,9 +72,10 @@ def td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q50": ("quantile", 0.50),
             "q90": ("quantile", 0.90),
             "q99": ("quantile", 0.99),
+            "tmean_10_90": ("trimmed_mean", 0.1, 0.9),
         },
     )
-    return _round(out, {c: 4 for c in ("q10", "q50", "q90", "q99")})
+    return _round(out, {c: 4 for c in ("q10", "q50", "q90", "q99", "tmean_10_90")})
 
 
 def td_cdf_probe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,39 +86,30 @@ def td_cdf_probe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out.drop("__probe"), {"cdf_at_max": 6})
 
 
-def td_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
-    out = tdigest_stats(
-        dig, {"mean_value": ("mean",), "var_value": ("variance",), "std_value": ("stddev",)}
-    )
-    return _round(out, {"mean_value": 4, "var_value": 3, "std_value": 4})
+def td_merge_engines_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest merge — the reference's ``<>``/``mconcat``
+    (Tree/Internal.hs:143-153) — through BOTH merge engines in one
+    query: value-banded partial digests per event_type merged by (a)
+    ``tdigest_merge_agg_sql`` (pure JVM expressions: explode -> window
+    cumsum -> closed-form k1 cluster ids -> hash-agg rebuild, no Python
+    worker) and (b) ``tdigest_merge_agg`` (the pandas greedy vector
+    merge, parity with the reference's sequential algorithm). Lossless,
+    so both hash-match quantile_cont exactly AND each other.
+    (Consolidates round-2's td_merge_halves_events +
+    td_merge_sql_events.)"""
+    from tdigest_spark.operators.digest_agg import tdigest_merge_agg_sql
 
-
-def td_trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dig = tdigest_agg(
-        load(spark, sf_dir, "lineitem"), "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS
-    )
-    out = tdigest_stats(dig, {"tmean_10_90": ("trimmed_mean", 0.1, 0.9)})
-    return _round(out, {"tmean_10_90": 4})
-
-
-def td_count_minmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
-    out = tdigest_stats(dig, {"n_values": ("total_weight",), "min_value": ("vmin",), "max_value": ("vmax",)})
-    return out.withColumn("n_values", F.col("n_values").cast("long"))
-
-
-def td_merge_halves_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Digest merge as the union/`<>` analog (Tree/Internal.hs:143-153):
-    two disjoint half-digests merged == digest of the union."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "half", (F.col("event_id") % 2).cast("int")
-    )
-    halves = tdigest_agg(ev, "value", by=["half"], delta=LOSSLESS)
-    merged = tdigest_merge_agg(halves.drop("half"))
-    out = tdigest_stats(merged, {"median_value": ("quantile", 0.5), "n_values": ("total_weight",)})
-    return _round(out, {"median_value": 4}).withColumn(
-        "n_values", F.col("n_values").cast("long")
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    banded = ev.withColumn("band", (F.col("value") > 30).cast("int"))
+    partial = tdigest_agg(banded, "value", by=["event_type", "band"], delta=LOSSLESS)
+    m_sql = tdigest_merge_agg_sql(partial.drop("band"), by=["event_type"])
+    m_pd = tdigest_merge_agg(partial.drop("band"), by=["event_type"])
+    s_sql = tdigest_stats(m_sql, {"p50_sql": ("quantile", 0.5), "n_sql": ("total_weight",)})
+    s_pd = tdigest_stats(m_pd, {"p50_pandas": ("quantile", 0.5), "n_pandas": ("total_weight",)})
+    out = s_sql.join(s_pd, "event_type")
+    out = _round(out, {"p50_sql": 4, "p50_pandas": 4})
+    return out.withColumn("n_sql", F.col("n_sql").cast("long")).withColumn(
+        "n_pandas", F.col("n_pandas").cast("long")
     )
 
 
@@ -185,22 +198,6 @@ def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
-def td_merge_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pandas-free merge path: partial digests per (event_type,
-    value-band) merged by tdigest_merge_agg_sql — pure JVM expressions
-    (explode -> window cumsum -> closed-form k1 cluster ids ->
-    hash-agg rebuild), no Python worker in the merge stage. Exact in
-    lossless mode, so it hash-matches quantile_cont."""
-    from tdigest_spark.operators.digest_agg import tdigest_merge_agg_sql
-
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
-    banded = ev.withColumn("band", (F.col("value") > 30).cast("int"))
-    partial = tdigest_agg(banded, "value", by=["event_type", "band"], delta=LOSSLESS)
-    merged = tdigest_merge_agg_sql(partial.drop("band"), by=["event_type"])
-    out = tdigest_stats(merged, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
-    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
-
-
 def td_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 7d/1d windows via the PANE architecture: rows aggregate
     once into daily pane digests, panes fan out to their 7 covering
@@ -251,18 +248,91 @@ def td_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
-def td_weighted_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted digest (weight = l_quantity): weighted mean + total
-    weight are exact under merging (weighted-mean identity)."""
+def td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED build path (weight = l_quantity) checked at every
+    rank surface from one digest (consolidates round-2's
+    td_weighted_mean_lineitem + td_weighted_cdf_lineitem, plus the
+    round-2 verdict's weighted-QUANTILE oracle):
+
+    * ``wmean``/``wtotal`` — exact under merging (weighted-mean
+      identity), value-hash-checked;
+    * ``cdf_mid``/``cdf_max`` — weighted mid-rank cdf probed at
+      per-group DATA values (the lossless digest is exactly the
+      weighted mid-rank step function AT its atoms; between atoms it
+      interpolates, so probes must be data values), integer-weight
+      arithmetic => hash-exact vs SQL;
+    * ``wq25_ok``/``wq50_ok``/``wq75_ok`` — weighted QUANTILES
+      rank-sandwiched exactly: for v = quantile(q) of a lossless
+      weighted digest, W(<v) <= q*tw + w_max/2 + 1 and
+      W(<=v) >= q*tw - w_max/2 - 1 (the interpolation segment around
+      rank t = q*(tw-1)+0.5 spans at most one atom's half-weight on
+      each side). Both sums are exact integer-weight arithmetic over
+      the raw rows, so the booleans are deterministic; a mis-weighted
+      build shifts the quantile's true weighted rank by percentage
+      points and breaks the sandwich.
+    """
     li = load(spark, sf_dir, "lineitem")
     dig = tdigest_agg(
         li, "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS,
         weight_col="l_quantity",
     )
-    out = tdigest_stats(dig, {"wmean": ("mean",), "wtotal": ("total_weight",)})
-    return _round(out, {"wmean": 4}).withColumn(
-        "wtotal", F.col("wtotal").cast("long")
+    st = tdigest_stats(
+        dig,
+        {
+            "wmean": ("mean",),
+            "wtotal": ("total_weight",),
+            "wq25": ("quantile", 0.25),
+            "wq50": ("quantile", 0.5),
+            "wq75": ("quantile", 0.75),
+        },
     )
+    probes = li.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("l_extendedprice") >= 30_000.0, F.col("l_extendedprice"))
+        ).alias("__pmid"),
+        F.max("l_extendedprice").alias("__pmax"),
+    )
+    cd = tdigest_cdf_at(
+        dig.join(probes, "l_returnflag"),
+        {"cdf_mid": "__pmid", "cdf_max": "__pmax"},
+    ).drop("__pmid", "__pmax")
+    base = st.join(cd, "l_returnflag")
+
+    v, w = F.col("l_extendedprice"), F.col("l_quantity")
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(base), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(w).cast("double").alias("__tw"),
+            F.max(w).cast("double").alias("__wmax"),
+            *[
+                agg
+                for q, wq in ((0.25, "wq25"), (0.5, "wq50"), (0.75, "wq75"))
+                for agg in (
+                    F.sum(F.when(v < F.col(wq), w).otherwise(0.0)).cast("double").alias(f"__lt_{wq}"),
+                    F.sum(F.when(v <= F.col(wq), w).otherwise(0.0)).cast("double").alias(f"__le_{wq}"),
+                )
+            ],
+        )
+    )
+    slack = F.col("__wmax") / 2.0 + 1.0
+    oks = [
+        (
+            (F.col(f"__lt_{wq}") <= F.lit(q) * F.col("__tw") + slack)
+            & (F.col(f"__le_{wq}") >= F.lit(q) * F.col("__tw") - slack)
+        ).alias(f"{wq}_ok")
+        for q, wq in ((0.25, "wq25"), (0.5, "wq50"), (0.75, "wq75"))
+    ]
+    out = base.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        F.round("wmean", 4).alias("wmean"),
+        F.col("wtotal").cast("long").alias("wtotal"),
+        F.round("cdf_mid", 6).alias("cdf_mid"),
+        F.round("cdf_max", 6).alias("cdf_max"),
+        *oks,
+    )
+    return out
 
 
 def td_fused_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,33 +349,6 @@ def td_fused_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         first, {"p90_value": ("quantile", 0.9), "mean_value": ("mean",)}
     )
     return _round(out, {"p50_value": 4, "p90_value": 4, "mean_value": 4})
-
-
-def td_weighted_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted digest cdf probed at per-group DATA values (mid-range
-    and max price) — hash-checks the ``weight_col`` build path
-    end-to-end at rank level (the weighted mean alone can't distinguish
-    a mis-weighted cdf). Probes must be data values: the lossless digest
-    is exactly the weighted mid-rank step function AT its atoms, while
-    between atoms it interpolates continuously (by design). Weighted
-    mid-rank cdf over integer weights is integer-arithmetic-
-    deterministic, so lossless == SQL exactly."""
-    li = load(spark, sf_dir, "lineitem")
-    dig = tdigest_agg(
-        li, "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS,
-        weight_col="l_quantity",
-    )
-    probes = li.groupBy("l_returnflag").agg(
-        F.min(
-            F.when(F.col("l_extendedprice") >= 30_000.0, F.col("l_extendedprice"))
-        ).alias("__pmid"),
-        F.max("l_extendedprice").alias("__pmax"),
-    )
-    out = tdigest_cdf_at(
-        dig.join(probes, "l_returnflag"),
-        {"cdf_mid": "__pmid", "cdf_max": "__pmax"},
-    ).drop("__pmid", "__pmax")
-    return _round(out, {"cdf_mid": 6, "cdf_max": 6})
 
 
 def td_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,40 +392,59 @@ def td_highcard_sql_build_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES = {
-    "td_median_events": td_median_events,
+    "td_stats_events": td_stats_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
     "td_cdf_probe_events": td_cdf_probe_events,
-    "td_moments_events": td_moments_events,
-    "td_trimmed_mean_lineitem": td_trimmed_mean_lineitem,
-    "td_count_minmax_events": td_count_minmax_events,
-    "td_merge_halves_events": td_merge_halves_events,
+    "td_merge_engines_events": td_merge_engines_events,
     "td_histogram_mass_events": td_histogram_mass_events,
     "td_p99_compressed": td_p99_compressed,
     "td_rollup_lineitem": td_rollup_lineitem,
     "td_cube_lineitem": td_cube_lineitem,
     "td_sql_surface_events": td_sql_surface_events,
-    "td_merge_sql_events": td_merge_sql_events,
     "td_sliding_events": td_sliding_events,
     "td_windowed_events": td_windowed_events,
-    "td_weighted_mean_lineitem": td_weighted_mean_lineitem,
+    "td_weighted_lineitem": td_weighted_lineitem,
     "td_fused_stats_events": td_fused_stats_events,
-    "td_weighted_cdf_lineitem": td_weighted_cdf_lineitem,
     "td_mad_events": td_mad_events,
     "td_highcard_sql_build_lineitem": td_highcard_sql_build_lineitem,
 }
 
 ORACLES = {
-    "td_median_events": """
-        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+    "td_stats_events": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS median_value,
+               round(avg(value), 4) AS mean_value,
+               round(var_samp(value), 3) AS var_value,
+               round(stddev_samp(value), 4) AS std_value,
+               count(value) AS n_values,
+               min(value) AS min_value,
+               max(value) AS max_value
         FROM events GROUP BY event_type
     """,
     "td_quantiles_lineitem": """
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.10), 4) AS q10,
-               round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
-               round(quantile_cont(l_extendedprice, 0.90), 4) AS q90,
-               round(quantile_cont(l_extendedprice, 0.99), 4) AS q99
-        FROM lineitem GROUP BY l_returnflag
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        ),
+        tm AS (
+          SELECT l_returnflag, round(sum(v * w) / sum(w), 4) AS tmean_10_90
+          FROM (SELECT l_returnflag, v,
+                       greatest(0, least(0.9 * n, rn) - greatest(0.1 * n, rn - 1)) AS w
+                FROM r)
+          GROUP BY l_returnflag
+        ),
+        q AS (
+          SELECT l_returnflag,
+                 round(quantile_cont(l_extendedprice, 0.10), 4) AS q10,
+                 round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+                 round(quantile_cont(l_extendedprice, 0.90), 4) AS q90,
+                 round(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT q.l_returnflag, q10, q50, q90, q99, tmean_10_90
+        FROM q JOIN tm USING (l_returnflag)
     """,
     "td_cdf_probe_events": """
         WITH m AS (SELECT event_type, max(value) AS x FROM events GROUP BY event_type)
@@ -393,36 +455,13 @@ ORACLES = {
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type
     """,
-    "td_moments_events": """
+    "td_merge_engines_events": """
         SELECT event_type,
-               round(avg(value), 4) AS mean_value,
-               round(var_samp(value), 3) AS var_value,
-               round(stddev_samp(value), 4) AS std_value
+               round(quantile_cont(value, 0.5), 4) AS p50_sql,
+               count(value) AS n_sql,
+               round(quantile_cont(value, 0.5), 4) AS p50_pandas,
+               count(value) AS n_pandas
         FROM events GROUP BY event_type
-    """,
-    "td_trimmed_mean_lineitem": """
-        WITH r AS (
-          SELECT l_returnflag, l_extendedprice AS v,
-                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
-                 count(*) OVER (PARTITION BY l_returnflag) AS n
-          FROM lineitem
-        )
-        SELECT l_returnflag,
-               round(sum(v * w) / sum(w), 4) AS tmean_10_90
-        FROM (SELECT l_returnflag, v,
-                     greatest(0, least(0.9 * n, rn) - greatest(0.1 * n, rn - 1)) AS w
-              FROM r)
-        GROUP BY l_returnflag
-    """,
-    "td_count_minmax_events": """
-        SELECT event_type, count(value) AS n_values,
-               min(value) AS min_value, max(value) AS max_value
-        FROM events GROUP BY event_type
-    """,
-    "td_merge_halves_events": """
-        SELECT round(quantile_cont(value, 0.5), 4) AS median_value,
-               count(value) AS n_values
-        FROM events
     """,
     "td_histogram_mass_events": """
         SELECT event_type, count(value) AS mass,
@@ -448,11 +487,6 @@ ORACLES = {
                count(value) AS n
         FROM w GROUP BY 1, 2
     """,
-    "td_merge_sql_events": """
-        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
-               count(value) AS n
-        FROM events GROUP BY event_type
-    """,
     "td_sql_surface_events": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
@@ -473,12 +507,31 @@ ORACLES = {
                count(value) AS n
         FROM events GROUP BY event_type, date_trunc('day', ts)
     """,
-    "td_weighted_mean_lineitem": """
-        SELECT l_returnflag,
+    "td_weighted_lineitem": """
+        WITH p AS (
+          SELECT l_returnflag,
+                 min(CASE WHEN l_extendedprice >= 30000.0
+                          THEN l_extendedprice END) AS pmid,
+                 max(l_extendedprice) AS pmax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
                    AS wmean,
-               sum(l_quantity)::BIGINT AS wtotal
-        FROM lineitem GROUP BY l_returnflag
+               sum(l_quantity)::BIGINT AS wtotal,
+               round((2 * sum(CASE WHEN l_extendedprice < pmid
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = pmid
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_mid,
+               round((2 * sum(CASE WHEN l_extendedprice < pmax
+                                   THEN l_quantity ELSE 0 END)::BIGINT
+                      + sum(CASE WHEN l_extendedprice = pmax
+                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
+                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_max,
+               true AS wq25_ok, true AS wq50_ok, true AS wq75_ok
+        FROM lineitem l JOIN p USING (l_returnflag)
+        GROUP BY l.l_returnflag
     """,
     "td_p99_compressed": """
         SELECT event_type, count(value) AS n,
@@ -507,27 +560,5 @@ ORACLES = {
                round(quantile_cont(value, 0.9), 4) AS p90_value,
                round(avg(value), 4) AS mean_value
         FROM events GROUP BY event_type
-    """,
-    "td_weighted_cdf_lineitem": """
-        WITH p AS (
-          SELECT l_returnflag,
-                 min(CASE WHEN l_extendedprice >= 30000.0
-                          THEN l_extendedprice END) AS pmid,
-                 max(l_extendedprice) AS pmax
-          FROM lineitem GROUP BY l_returnflag
-        )
-        SELECT l.l_returnflag,
-               round((2 * sum(CASE WHEN l_extendedprice < pmid
-                                   THEN l_quantity ELSE 0 END)::BIGINT
-                      + sum(CASE WHEN l_extendedprice = pmid
-                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
-                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_mid,
-               round((2 * sum(CASE WHEN l_extendedprice < pmax
-                                   THEN l_quantity ELSE 0 END)::BIGINT
-                      + sum(CASE WHEN l_extendedprice = pmax
-                                 THEN l_quantity ELSE 0 END)::BIGINT)::DOUBLE
-                     / (2 * sum(l_quantity)::BIGINT)::DOUBLE, 6) AS cdf_max
-        FROM lineitem l JOIN p USING (l_returnflag)
-        GROUP BY l.l_returnflag
     """,
 }

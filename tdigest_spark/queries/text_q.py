@@ -23,13 +23,25 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + the text-stats -> t-digest composition in one
+    row set (consolidates round-2's tx_quality_scores +
+    tx_quality_quantiles under the 50-row budget): per-lang mean
+    quality / stopword ratio / high-quality count, plus lossless digest
+    quantiles of the subword count."""
     docs = with_text_stats(load(spark, sf_dir, "documents"))
-    return docs.groupBy("lang").agg(
+    scores = docs.groupBy("lang").agg(
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.round(F.avg("stopword_ratio_en"), 4).alias("avg_sw_ratio"),
         F.sum((F.col("quality") >= 0.7).cast("long")).alias("n_high_quality"),
     )
+    sub = docs.select("lang", F.col("n_subwords").cast("double").alias("n_subwords"))
+    dig = tdigest_agg(sub, "n_subwords", by=["lang"], delta=LOSSLESS)
+    q = tdigest_stats(dig, {"p50_subwords": ("quantile", 0.5), "p90_subwords": ("quantile", 0.9)})
+    q = q.withColumn("p50_subwords", F.round("p50_subwords", 4)).withColumn(
+        "p90_subwords", F.round("p90_subwords", 4)
+    )
+    return scores.join(q, "lang")
 
 
 def tx_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,25 +56,11 @@ def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "fingerprint")
 
 
-def tx_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composition: text stats feeding the t-digest — quantiles of the
-    subword count per lang (lossless -> exact)."""
-    docs = with_text_stats(load(spark, sf_dir, "documents")).select(
-        "lang", F.col("n_subwords").cast("double").alias("n_subwords")
-    )
-    dig = tdigest_agg(docs, "n_subwords", by=["lang"], delta=LOSSLESS)
-    out = tdigest_stats(dig, {"p50": ("quantile", 0.5), "p90": ("quantile", 0.9)})
-    return out.withColumn("p50", F.round("p50", 4)).withColumn(
-        "p90", F.round("p90", 4)
-    )
-
-
 QUERIES = {
     "tx_token_stats": tx_token_stats,
-    "tx_quality_scores": tx_quality_scores,
+    "tx_quality_summary": tx_quality_summary,
     "tx_lang_id_agreement": tx_lang_id_agreement,
     "tx_fingerprints": tx_fingerprints,
-    "tx_quality_quantiles": tx_quality_quantiles,
 }
 
 
@@ -104,12 +102,14 @@ ORACLES = {
                round(avg(length(text)), 4) AS avg_chars
         FROM documents GROUP BY lang
     """,
-    "tx_quality_scores": f"""
+    "tx_quality_summary": f"""
         SELECT lang,
                round(avg({_QUALITY}), 4) AS avg_quality,
                round(avg({_sw_hits('en')}::DOUBLE / {_NTOK}), 4) AS avg_sw_ratio,
                sum(CASE WHEN {_QUALITY} >= 0.7 THEN 1 ELSE 0 END)::BIGINT
-                   AS n_high_quality
+                   AS n_high_quality,
+               round(quantile_cont(({_NSUB})::DOUBLE, 0.5), 4) AS p50_subwords,
+               round(quantile_cont(({_NSUB})::DOUBLE, 0.9), 4) AS p90_subwords
         FROM documents GROUP BY lang
     """,
     "tx_lang_id_agreement": f"""
@@ -118,11 +118,5 @@ ORACLES = {
     """,
     "tx_fingerprints": f"""
         SELECT doc_id, {_FP} AS fingerprint FROM documents
-    """,
-    "tx_quality_quantiles": f"""
-        SELECT lang,
-               round(quantile_cont(({_NSUB})::DOUBLE, 0.5), 4) AS p50,
-               round(quantile_cont(({_NSUB})::DOUBLE, 0.9), 4) AS p90
-        FROM documents GROUP BY lang
     """,
 }

@@ -32,12 +32,19 @@ def wp_invariant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def wp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew profile of the generated table (feeds the salting choice)."""
-    return synth_webpages(spark, N_DOCS).groupBy("lang").agg(
+def wp_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang skew profile (feeds the salting choice) + token-count
+    features via built-ins, one scan — consolidates round-2's
+    wp_lang_counts + wp_token_stats under the 50-row budget."""
+    pages = synth_webpages(spark, N_DOCS)
+    feats = with_text_features(pages)
+    return feats.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.min(F.length("text")).alias("min_chars"),
         F.max(F.length("text")).alias("max_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(F.avg("avg_token_len"), 4).alias("avg_tok_len"),
     )
 
 
@@ -64,25 +71,12 @@ def wp_textlen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def wp_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-count features via built-ins (split/size) — exact agg
-    parity."""
-    pages = synth_webpages(spark, N_DOCS)
-    feats = with_text_features(pages)
-    return feats.groupBy("lang").agg(
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
-        F.round(F.avg("avg_token_len"), 4).alias("avg_tok_len"),
-    )
-
-
 _DUCK = webpages_sql_duckdb(N_DOCS)
 
 QUERIES = {
     "wp_invariant_extract": wp_invariant_extract,
-    "wp_lang_counts": wp_lang_counts,
+    "wp_lang_token_stats": wp_lang_token_stats,
     "wp_textlen_quantiles": wp_textlen_quantiles,
-    "wp_token_stats": wp_token_stats,
 }
 
 ORACLES = {
@@ -94,11 +88,15 @@ ORACLES = {
                count(DISTINCT url) AS n_urls
         FROM pages
     """,
-    "wp_lang_counts": f"""
+    "wp_lang_token_stats": f"""
         WITH pages AS ({_DUCK})
         SELECT lang, count(*) AS n_docs,
                min(length(text)) AS min_chars,
-               max(length(text)) AS max_chars
+               max(length(text)) AS max_chars,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+               round(avg(length(replace(text, ' ', ''))::DOUBLE
+                         / len(string_split(text, ' '))), 4) AS avg_tok_len
         FROM pages GROUP BY lang
     """,
     "wp_textlen_quantiles": f"""
@@ -108,15 +106,6 @@ ORACLES = {
                round(quantile_cont(length(text)::DOUBLE, 0.99), 4) AS p99,
                round(quantile_cont(length(text)::DOUBLE, 0.999), 4) AS p999,
                count(*) AS n_docs
-        FROM pages GROUP BY lang
-    """,
-    "wp_token_stats": f"""
-        WITH pages AS ({_DUCK})
-        SELECT lang,
-               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-               sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
-               round(avg(length(replace(text, ' ', ''))::DOUBLE
-                         / len(string_split(text, ' '))), 4) AS avg_tok_len
         FROM pages GROUP BY lang
     """,
 }
