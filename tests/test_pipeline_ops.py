@@ -422,3 +422,49 @@ def test_ivf_index_append_refresh_and_drift(spark, sf_dir, tmp_path):
     g2 = {(r["query_id"], r["rank"]): r["vec_id"] for r in got2.collect()}
     e2 = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact2.collect()}
     assert g2 == e2
+
+
+def test_oversized_buckets_enumerates_dropped_mass(spark):
+    """The no-silent-caps contract: for any capped pair call, the
+    dropped bucket keys are enumerable with oversized_buckets over the
+    same banded table, and an uncapped call still finds the pairs."""
+    from tdigest_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_buckets,
+        shingles,
+    )
+
+    # 30 identical docs (one degenerate bucket per band) + 2 normal docs
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated again and again") for i in range(30)]
+        + [(100, "a genuinely unique document about owls"),
+           (101, "another unique document about trains")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id")
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
+    assert capped.count() == 0  # the clique is silently gone when capped...
+
+    # ...so the operator contract demands the dropped keys be visible:
+    from pyspark.sql import functions as F
+
+    r = 64 // 16
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
+        )
+        for b in range(16)
+    ])
+    banded = sigs.select(F.col("doc_id"), F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    dropped = oversized_buckets(banded, ["band", "bh"], 10).collect()
+    assert len(dropped) == 16  # the boilerplate clique, once per band
+    assert all(row["n"] == 30 for row in dropped)
+
+    # default (no cap) finds the full clique
+    uncapped = lsh_candidate_pairs(sigs, "doc_id")
+    assert uncapped.count() == 30 * 29 // 2
