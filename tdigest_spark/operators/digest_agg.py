@@ -700,27 +700,56 @@ def tdigest_sliding(
     """
     by = list(by)
     pane_sec = math.gcd(int(window_sec), int(slide_sec))
-    # a pane can be covered by up to floor((window-pane)/slide)+1
-    # windows (NOT window//slide, which undercounts when window is not
-    # a multiple of slide); candidates are filtered exactly below
-    n_back = (window_sec - pane_sec) // slide_sec
-    us = 1_000_000
-
     # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
     # session tz is UTC so the wall time is preserved)
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     src = df.select(
-        F.floor(t_us / (pane_sec * us)).alias("__pane"),
+        F.floor(t_us / (pane_sec * 1_000_000)).alias("__pane"),
         *by,
         F.col(value_col),
     )
     panes = tdigest_agg(src, value_col, by=["__pane", *by], delta=delta,
                         digest_col=digest_col)
+    return panes_to_sliding(
+        panes, pane_sec, window_sec, slide_sec, by=by,
+        digest_col=digest_col, delta=delta,
+    )
 
+
+def panes_to_sliding(
+    panes: DataFrame,
+    pane_sec: int,
+    window_sec: int,
+    slide_sec: int,
+    by: Sequence[str] = (),
+    digest_col: str = "digest",
+    pane_col: str = "__pane",
+    delta: int | None = None,
+) -> DataFrame:
+    """Derive SLIDING-window digests from tumbling PANE digests by
+    associative merge — the second half of :func:`tdigest_sliding`,
+    public so a pane table built ANY way (the batch path above, or a
+    streaming job emitting final pane digests into a checkpoint table,
+    see ``streaming/digest_stream.py``) can be rolled into sliding
+    windows without touching raw rows again. ``pane_col`` is the
+    epoch-aligned pane index (floor(epoch_sec / pane_sec)); window and
+    slide must be pane multiples. Output: (window_start, by..., digest)
+    — exact in lossless mode (digest merge is associative)."""
+    by = list(by)
+    if window_sec % pane_sec or slide_sec % pane_sec:
+        raise ValueError(
+            f"panes_to_sliding: window ({window_sec}) and slide "
+            f"({slide_sec}) must be multiples of the pane ({pane_sec})"
+        )
+    # a pane can be covered by up to floor((window-pane)/slide)+1
+    # windows (NOT window//slide, which undercounts when window is not
+    # a multiple of slide); candidates are filtered exactly below
+    n_back = (window_sec - pane_sec) // slide_sec
+    us = 1_000_000
     # windows covering pane p (pane interval [p*pane, (p+1)*pane) lies
     # fully inside the window because window/slide are pane multiples):
     # starts s = k*slide with  s <= p*pane  and  s + window >= (p+1)*pane
-    pane_t = F.col("__pane") * pane_sec
+    pane_t = F.col(pane_col) * pane_sec
     last_start = F.floor(pane_t / slide_sec) * slide_sec
     first_start = last_start - n_back * slide_sec
     exploded = panes.select(

@@ -381,6 +381,18 @@ class TDigest:
         Lossless digests reproduce SQL ``quantile_cont`` exactly
         (cf. reference quantile, ``Postprocess/Internal.hs:97-106``;
         doctest parity: median of [1..1000] = 500.5, ``Vector.hs:20-21``).
+
+        WEIGHTED semantics: on a digest built with weights
+        (``from_values(weights=...)`` / ``tdigest_agg(weight_col=...)``)
+        this IS the weighted quantile — rank space is cumulative-WEIGHT
+        space (centers at ``cum_w - w/2``), so a row with weight w
+        counts w times, exactly as if it had been repeated. For integer
+        weights in lossless mode the result equals ``quantile_cont``
+        over the weight-expanded rows; at real compression the
+        published O(1/delta) bound applies to the weighted rank. Oracle
+        check: the ``td_weighted_lineitem`` rank-sandwich (every
+        returned value v satisfies W(<v) <= q*tw + w_max/2 + 1 and
+        W(<=v) >= q*tw - w_max/2 - 1 in exact integer arithmetic).
         """
         if self.is_empty():
             return None

@@ -2,13 +2,20 @@
 ("on-line accumulation", tdigest.cabal:4; ``insert`` =
 ``Tree/Internal.hs:452-457``) re-expressed in Structured Streaming.
 
-Two shapes:
+Three shapes:
 
 * :func:`stateful_digest_stream` — ``applyInPandasWithState``: one
   t-digest per group key held in stream state, updated vectorized per
   micro-batch (the digest IS the state — O(delta) bytes per key, so
   state store size is bounded regardless of stream length). Emits
   updated rank stats per key per batch.
+
+* :func:`windowed_digest_stream` — event-time tumbling windows with
+  watermark eviction; with ``emit="digest"`` it emits the mergeable
+  digest struct per finalized window, which composes into STREAMING
+  SLIDING windows: pane-sized tumbling windows in the stream (each row
+  touched once, bounded state), sliding windows derived from the pane
+  digests by associative merge (``digest_agg.panes_to_sliding``).
 
 * :func:`digest_sink` — ``foreachBatch`` merging each micro-batch's
   partial digests into a checkpoint parquet table via the same
@@ -126,6 +133,7 @@ def windowed_digest_stream(
     watermark: str = "1 day",
     delta: int = 200,
     quantiles: Sequence[float] = (0.5, 0.99),
+    emit: str = "stats",
 ) -> DataFrame:
     """Event-time tumbling-window digests with watermark-driven state
     eviction — the windowed/late-data shape SURVEY.md §8 lists as a
@@ -139,9 +147,23 @@ def windowed_digest_stream(
     O(active windows x keys x delta) regardless of stream length (the
     property that matters for an unbounded 100 TB/day ingest).
 
-    Output per (window, key) per batch: (window_start, window_end,
-    by..., n_values, q_*..., final).
+    ``emit``: ``"stats"`` (default) outputs (window_start, window_end,
+    by..., n_values, q_*..., final); ``"digest"`` outputs the DIGEST
+    STRUCT itself instead of the quantile columns — the mergeable form.
+    Emitting digests is how STREAMING SLIDING windows work at scale:
+    run this with ``window_duration`` = one PANE (gcd(window, slide)),
+    sink the ``final=true`` pane digests to a table, and derive every
+    sliding window by associative merge with
+    ``operators.digest_agg.panes_to_sliding`` — the stream holds
+    O(active panes x keys) state and touches each row once, while the
+    window/slide fan-out happens on O(delta)-sized digests at read
+    time (late data within the watermark lands in its pane before the
+    pane finalizes).
     """
+    if emit not in ("stats", "digest"):
+        raise ValueError(f"windowed_digest_stream: unknown emit mode {emit!r}")
+    from tdigest_spark.operators.digest_agg import DIGEST_TYPE
+
     by = list(by)
     src = stream.withWatermark(ts_col, watermark)
     # the window struct carries the watermark tag — it must survive to
@@ -152,17 +174,20 @@ def windowed_digest_stream(
         *by,
         F.col(value_col).cast("double").alias(value_col),
     )
+    if emit == "digest":
+        tail_fields = [T.StructField("digest", DIGEST_TYPE)]
+    else:
+        tail_fields = [T.StructField("n_values", T.LongType())] + [
+            T.StructField(f"q_{str(q).replace('.', '_')}", T.DoubleType())
+            for q in quantiles
+        ]
     out_schema = T.StructType(
         [
             T.StructField("window_start", T.TimestampType()),
             T.StructField("window_end", T.TimestampType()),
         ]
         + [stream.schema[c] for c in by]
-        + [T.StructField("n_values", T.LongType())]
-        + [
-            T.StructField(f"q_{str(q).replace('.', '_')}", T.DoubleType())
-            for q in quantiles
-        ]
+        + tail_fields
         + [T.StructField("final", T.BooleanType())]
     )
 
@@ -173,13 +198,16 @@ def windowed_digest_stream(
         ws, we = w["start"], w["end"]
         group = key[1:]
 
-        def emit(dig: TDigest, final: bool) -> pd.DataFrame:
+        def emit_row(dig: TDigest, final: bool) -> pd.DataFrame:
             row = {"window_start": [ws], "window_end": [we]}
             for c, k in zip(by, group):
                 row[c] = [k]
-            row["n_values"] = [int(dig.total_weight)]
-            for q in quantiles:
-                row[f"q_{str(q).replace('.', '_')}"] = [dig.quantile(q)]
+            if emit == "digest":
+                row["digest"] = [dig.to_row()]
+            else:
+                row["n_values"] = [int(dig.total_weight)]
+                for q in quantiles:
+                    row[f"q_{str(q).replace('.', '_')}"] = [dig.quantile(q)]
             row["final"] = [final]
             return pd.DataFrame(row)
 
@@ -193,7 +221,7 @@ def windowed_digest_stream(
                 }
             )
             state.remove()
-            yield emit(dig, final=True)
+            yield emit_row(dig, final=True)
             return
         if state.exists:
             means, weights, tw, vmin, vmax, d0 = state.get
@@ -220,7 +248,7 @@ def windowed_digest_stream(
         # the timeout must lie strictly past the current watermark
         we_ms = int(pd.Timestamp(we).tz_localize("UTC").timestamp() * 1000)
         state.setTimeoutTimestamp(max(we_ms, state.getCurrentWatermarkMs() + 1))
-        yield emit(dig, final=False)
+        yield emit_row(dig, final=False)
 
     return keyed.groupBy("__w", *by).applyInPandasWithState(
         update,

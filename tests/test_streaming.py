@@ -251,3 +251,79 @@ def test_digest_sink_replay_is_idempotent(spark, sf_dir, stream_dir, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_streaming_sliding_via_panes(spark, sf_dir, timed_stream_dir, tmp_path):
+    """STREAMING sliding windows, the scale-correct composition: the
+    stream aggregates each row ONCE into pane-sized (1 day) tumbling
+    digests emitted as mergeable structs (emit='digest', bounded
+    state), and every 7d/1d sliding window is derived from the pane
+    digests by associative merge (panes_to_sliding) — result equals
+    the batch tdigest_sliding over the same rows exactly (lossless)."""
+    from pyspark.sql import Window
+
+    from tdigest_spark.operators.digest_agg import (
+        panes_to_sliding,
+        tdigest_sliding,
+        tdigest_stats,
+    )
+    from tdigest_spark.streaming.digest_stream import windowed_digest_stream
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{timed_stream_dir}/chunk=*")
+    )
+    out = windowed_digest_stream(
+        stream, "value", "ts", by=["event_type"],
+        window_duration="1 day", watermark="1 day",
+        delta=LOSSLESS, emit="digest",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_panes")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "spckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # last emission per (pane, key) = the complete pane digest
+    # (total_weight grows monotonically across micro-batches)
+    tbl = spark.table("slide_panes")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("digest.total_weight").desc()
+    )
+    panes = (
+        tbl.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.floor(F.unix_micros("window_start") / (86400 * 1_000_000)).alias("__pane"),
+            "event_type",
+            "digest",
+        )
+    )
+    sliding = panes_to_sliding(
+        panes, 86400, 7 * 86400, 86400, by=["event_type"], delta=LOSSLESS
+    )
+    got = tdigest_stats(
+        sliding, {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+    ).toPandas()
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    want = tdigest_stats(
+        tdigest_sliding(ev, "value", "ts", 7 * 86400, 86400,
+                        by=["event_type"], delta=LOSSLESS),
+        {"p50": ("quantile", 0.5), "n": ("total_weight",)},
+    ).toPandas()
+    g = {
+        (r["window_start"], r["event_type"]): (int(r["n"]), r["p50"])
+        for _, r in got.iterrows()
+    }
+    assert len(want) == len(g)
+    for _, r in want.iterrows():
+        n, p50 = g[(r["window_start"], r["event_type"])]
+        assert n == int(r["n"])
+        assert p50 == pytest.approx(r["p50"], abs=1e-9)
