@@ -29,6 +29,8 @@ _EXPORTS = {
     "tdigest_rollup": ("tdigest_spark.operators.digest_agg", "tdigest_rollup"),
     "tdigest_cube": ("tdigest_spark.operators.digest_agg", "tdigest_cube"),
     "tdigest_describe": ("tdigest_spark.operators.digest_agg", "tdigest_describe"),
+    "tdigest_sliding": ("tdigest_spark.operators.digest_agg", "tdigest_sliding"),
+    "panes_to_sliding": ("tdigest_spark.operators.digest_agg", "panes_to_sliding"),
     # companion sketches
     "HLL": ("tdigest_spark.sketch.hll", "HLL"),
     "CountMin": ("tdigest_spark.sketch.cms", "CountMin"),
@@ -40,7 +42,19 @@ _EXPORTS = {
     "sketch_agg": ("tdigest_spark.operators.sketch_agg", "sketch_agg"),
     "bloom_probe": ("tdigest_spark.operators.sketch_agg", "bloom_probe"),
     "cms_probe": ("tdigest_spark.operators.sketch_agg", "cms_probe"),
+    "cms_grouped_build": ("tdigest_spark.operators.sketch_agg", "cms_grouped_build"),
+    "cms_grouped_probe": ("tdigest_spark.operators.sketch_agg", "cms_grouped_probe"),
+    "hll_overlap": ("tdigest_spark.operators.sketch_agg", "hll_overlap"),
+    "approx_topk": ("tdigest_spark.operators.topk", "approx_topk"),
     "bloom_semijoin": ("tdigest_spark.operators.sketch_join", "bloom_semijoin"),
+    # LLM-pipeline operators
+    "exact_dedup": ("tdigest_spark.operators.dedup", "exact_dedup"),
+    "minhash_dedup_pairs": ("tdigest_spark.operators.dedup", "minhash_dedup_pairs"),
+    "connected_components": ("tdigest_spark.operators.dedup", "connected_components"),
+    "cosine_topk": ("tdigest_spark.operators.similarity", "cosine_topk"),
+    "build_ivf_index": ("tdigest_spark.operators.similarity", "build_ivf_index"),
+    "ivf_topk_indexed": ("tdigest_spark.operators.similarity", "ivf_topk_indexed"),
+    "append_ivf_index": ("tdigest_spark.operators.similarity", "append_ivf_index"),
     # SQL surface
     "register_sql_functions": (
         "tdigest_spark.functions.sql_udfs",
