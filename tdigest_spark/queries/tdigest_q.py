@@ -276,6 +276,10 @@ def td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", by=["l_returnflag"], delta=LOSSLESS,
         weight_col="l_quantity",
     )
+    # the digest table (O(groups) rows) feeds THREE consumers (stats,
+    # cdf probes, rank-sandwich join) — eager localCheckpoint computes
+    # the O(rows) build once instead of once per consumer
+    dig = dig.localCheckpoint(eager=True)
     st = tdigest_stats(
         dig,
         {
