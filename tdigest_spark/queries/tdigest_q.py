@@ -102,6 +102,9 @@ def td_merge_engines_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     banded = ev.withColumn("band", (F.col("value") > 30).cast("int"))
     partial = tdigest_agg(banded, "value", by=["event_type", "band"], delta=LOSSLESS)
+    # O(groups x bands) digest rows feed BOTH merge engines — compute
+    # the O(rows) partial build once
+    partial = partial.localCheckpoint(eager=True)
     m_sql = tdigest_merge_agg_sql(partial.drop("band"), by=["event_type"])
     m_pd = tdigest_merge_agg(partial.drop("band"), by=["event_type"])
     s_sql = tdigest_stats(m_sql, {"p50_sql": ("quantile", 0.5), "n_sql": ("total_weight",)})
