@@ -35,6 +35,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_signatures",
     "simhash_pairs",
+    "lsh_bands",
+    "simhash_blocks",
     "oversized_buckets",
     "connected_components",
 ]
@@ -171,6 +173,29 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_bands(
+    sigs: DataFrame, id_col: str, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """The banded signature table behind :func:`lsh_candidate_pairs`:
+    (id, band, bh) with bh = hash of the band's r = n_hashes/bands
+    signature rows. Public so callers running a capped pair generation
+    can enumerate what the cap drops (:func:`oversized_buckets` over
+    keys ``["band", "bh"]``)."""
+    r = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -187,22 +212,10 @@ def lsh_candidate_pairs(
     cap silently removes EVERY pair inside an oversized bucket (large
     true-duplicate clusters included!), so production callers that set
     it should route the dropped buckets — enumerable with
-    :func:`oversized_buckets` over the banded (id, band, bh) table —
-    through :func:`exact_dedup` instead."""
-    r = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
+    ``oversized_buckets(lsh_bands(sigs, id_col, n_hashes, bands),
+    ["band", "bh"], max_bucket)`` — through :func:`exact_dedup`
+    instead."""
+    banded = lsh_bands(sigs, id_col, n_hashes, bands)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -406,6 +419,34 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("c").alias("component"))
 
 
+def simhash_blocks(
+    sigs: DataFrame, id_col: str, chunks: int = 4
+) -> DataFrame:
+    """The pigeonhole block table behind :func:`simhash_pairs`:
+    (id, simhash, blk, bv) with bv = the blk-th 64/chunks-bit slice.
+    Public for the same reason as :func:`lsh_bands`: a capped pair
+    generation pairs with :func:`oversized_buckets` over keys
+    ``["blk", "bv"]`` so the cap is never silent."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("blk"),
+                F.shiftright("simhash", c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bb")
+    ).select(
+        id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv")
+    )
+
+
 def simhash_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -426,26 +467,12 @@ def simhash_pairs(
     true near-dup pair is missed only if EVERY shared block is
     oversized (with ``max_hamming < chunks`` a pair shares >= chunks -
     max_hamming blocks); enumerate the dropped mass with
-    :func:`oversized_buckets` over the (id, blk, bv) block table and
-    route it through :func:`exact_dedup`.
+    ``oversized_buckets(simhash_blocks(sigs, id_col, chunks),
+    ["blk", "bv"], max_bucket)`` and route it through
+    :func:`exact_dedup`.
     """
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("blk"),
-                F.shiftright("simhash", c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bv"),
-            )
-            for c in range(chunks)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    banded = simhash_blocks(sigs, id_col, chunks)
     banded = _cap_buckets(banded, ["blk", "bv"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")

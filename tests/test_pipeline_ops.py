@@ -447,21 +447,13 @@ def test_oversized_buckets_enumerates_dropped_mass(spark):
     capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
     assert capped.count() == 0  # the clique is silently gone when capped...
 
-    # ...so the operator contract demands the dropped keys be visible:
-    from pyspark.sql import functions as F
+    # ...so the operator contract demands the dropped keys be visible
+    # through the PUBLIC banded-table builder:
+    from tdigest_spark.operators.dedup import lsh_bands
 
-    r = 64 // 16
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("bh"),
-        )
-        for b in range(16)
-    ])
-    banded = sigs.select(F.col("doc_id"), F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    dropped = oversized_buckets(banded, ["band", "bh"], 10).collect()
+    dropped = oversized_buckets(
+        lsh_bands(sigs, "doc_id"), ["band", "bh"], 10
+    ).collect()
     assert len(dropped) == 16  # the boilerplate clique, once per band
     assert all(row["n"] == 30 for row in dropped)
 
