@@ -352,10 +352,17 @@ def tdigest_merge_agg_sql(
         # intermediate level clusters at the WORKING delta (2x public,
         # same policy as ship_compressed) so the double compression
         # doesn't compound error; the final pass enforces the public
-        # delta. delta=None (lossless/carried) keeps per-group max.
-        work = None if delta is None else TDigest.WORK_MULT * delta
+        # delta. With delta=None the working factor applies to the
+        # CARRIED per-group max delta instead.
         salted = ex.withColumn(salt, F.spark_partition_id() % F.lit(s))
-        mid = _k1_cluster_rebuild(salted, [salt], digest_col, work)
+        if delta is None:
+            mid = _k1_cluster_rebuild(
+                salted, [salt], digest_col, None, carried_mult=TDigest.WORK_MULT
+            )
+        else:
+            mid = _k1_cluster_rebuild(
+                salted, [salt], digest_col, TDigest.WORK_MULT * delta
+            )
         ex = _explode_digests(mid.select(digest_col), [], digest_col)
     return _k1_cluster_rebuild(ex, by, digest_col, delta)
 
@@ -392,14 +399,17 @@ def _explode_digests(
 
 
 def _k1_cluster_rebuild(
-    ex: DataFrame, by: Sequence[str], digest_col: str, delta: int | None
+    ex: DataFrame, by: Sequence[str], digest_col: str, delta: int | None,
+    carried_mult: int = 1,
 ) -> DataFrame:
     """The JVM k1 clustering core: ``ex`` rows are weighted points
     (``__m``, ``__w``, plus ``__vmin``/``__vmax``/``__delta`` carries)
     per group; assign each its closed-form cluster id from mid-rank,
     aggregate clusters, rebuild digest structs. Shared by the digest
     MERGE (exploded centroids) and the direct SQL BUILD (raw rows as
-    singletons)."""
+    singletons). ``carried_mult`` scales the CARRIED delta (the
+    delta=None path) for working-delta intermediate passes — the
+    stamped ``delta`` field stays the carried public value."""
     by = list(by)
     c = F.col
     from pyspark.sql import Window as W
@@ -413,7 +423,11 @@ def _k1_cluster_rebuild(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     tot = W.partitionBy(*keys)
-    d_out = F.lit(delta).cast("double") if delta is not None else F.max("__delta").over(tot).cast("double")
+    d_out = (
+        F.lit(delta).cast("double")
+        if delta is not None
+        else F.max("__delta").over(tot).cast("double") * F.lit(float(carried_mult))
+    )
     cum = F.sum("__w").over(win) - c("__w") / 2.0
     tw = F.sum("__w").over(tot)
     q = F.least(F.greatest(cum / tw, F.lit(1e-12)), F.lit(1.0 - 1e-12))
