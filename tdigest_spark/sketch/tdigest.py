@@ -362,6 +362,16 @@ class TDigest:
         """Buffered insert of a batch (the UDAF update step)."""
         return self.merge(TDigest.from_values(values, self.delta))
 
+    def insert(self, x: float) -> "TDigest":
+        """Single-value insert — API parity with the reference's
+        ``insert``/``insert'`` (``Tree/Internal.hs:452-468``), with the
+        same deferred-compression behavior (the lazy gate in ``merge``
+        batches compaction). Returns a new digest; the hot paths use
+        the vectorized ``add_values``/``from_values`` instead — one
+        Python-level insert per row is exactly what the Arrow batching
+        exists to avoid."""
+        return self.add_values(np.asarray([x], dtype=np.float64))
+
     @staticmethod
     def merge_all(digests: list["TDigest"]) -> "TDigest":
         out = TDigest.empty(digests[0].delta if digests else 200)

@@ -334,3 +334,28 @@ def test_k0_compression_weight_cap_and_rank_error(data_idx):
         hi = np.searchsorted(sv, est, side="right") / len(sv)
         err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
         assert err <= 0.03, (data_idx, q, err)
+
+
+def test_insert_single_value_parity():
+    """insert (reference Tree/Internal.hs:452-468 parity): one-at-a-time
+    inserts reproduce the doctest goldens and agree with the bulk build
+    in lossless mode."""
+    import numpy as np
+
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    # reference doctest: median of [1..1000] = 500.5 (Vector.hs:20-21)
+    d = TDigest.empty(delta=10_000)
+    for x in range(1, 1001):
+        d = d.insert(float(x))
+    assert d.median() == 500.5
+    assert d.total_weight == 1000.0
+
+    # lossless: sequential inserts == bulk build, value for value
+    vals = np.random.default_rng(7).uniform(-5, 5, 300)
+    seq = TDigest.empty(delta=100_000)
+    for x in vals:
+        seq = seq.insert(float(x))
+    bulk = TDigest.from_values(vals, 100_000)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.999):
+        assert abs(seq.quantile(q) - bulk.quantile(q)) < 1e-12
