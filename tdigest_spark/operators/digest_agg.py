@@ -859,6 +859,8 @@ def tdigest_cube(
     the full subset lattice). NULL marks a rolled-up dimension, as in
     SQL CUBE output."""
     dims = list(dims)
+    d = len(dims)
+    full = (1 << d) - 1
     leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
     # eager localCheckpoint, NOT persist(): computed once for all 2^d
     # levels (leaf digests are tiny, O(groups x delta)), and the blocks
@@ -868,25 +870,36 @@ def tdigest_cube(
     # the leaf job runs at call time, and checkpoint blocks are not
     # recomputable after executor loss (lineage truncated) — acceptable
     # for this O(groups)-sized intermediate; rerun the call on loss
-    leaf = leaf.localCheckpoint(eager=True)
-    levels = []
-    for mask in range(1 << len(dims)):
-        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
-        if len(keep) == len(dims):
-            lvl = leaf
-        else:
-            # JVM merge path: ~10x faster than the pandas merge at high
-            # group counts (see BENCH.md §1d), identical in lossless mode
-            lvl = tdigest_merge_agg_sql(
-                leaf.select(*keep, digest_col), by=keep, digest_col=digest_col
-            )
-        for d in dims:
-            if d not in keep:
-                lvl = lvl.withColumn(d, F.lit(None).cast(leaf.schema[d].dataType))
-        levels.append(lvl.select(*dims, digest_col))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionByName(lvl)
+    raw: dict[int, DataFrame] = {full: leaf.localCheckpoint(eager=True)}
+    # each subset derives from its IMMEDIATE lattice parent (one more
+    # dimension — the lowest missing one), not from the leaf: the merge
+    # input shrinks from O(leaf groups) to O(parent groups) per level
+    # (deriving {A} from {A,B} instead of {A,B,C} cuts that level's
+    # clustering input by |C|'s cardinality factor — the difference
+    # between 2^d full-leaf passes and a lattice descent at 1e6+ leaf
+    # groups). Derivation chains are <= d re-compressions — the same
+    # depth as any d-level merge tree, exact in lossless mode. Only
+    # masks some child actually derives from are checkpointed.
+    parent_of = {m: m | (1 << min(i for i in range(d) if not m & (1 << i)))
+                 for m in range(full)}
+    needed = set(parent_of.values())
+    for mask in sorted(range(full), key=lambda m: bin(m).count("1"), reverse=True):
+        parent = raw[parent_of[mask]]
+        keep = [dims[i] for i in range(d) if mask & (1 << i)]
+        # JVM merge path: ~10x faster than the pandas merge at high
+        # group counts (see BENCH.md §1d), identical in lossless mode
+        lvl = tdigest_merge_agg_sql(
+            parent.select(*keep, digest_col), by=keep, digest_col=digest_col
+        )
+        raw[mask] = lvl.localCheckpoint(eager=True) if mask in needed else lvl
+    out = None
+    for mask in range(full + 1):
+        lvl = raw[mask]
+        for i, dim in enumerate(dims):
+            if not mask & (1 << i):
+                lvl = lvl.withColumn(dim, F.lit(None).cast(leaf.schema[dim].dataType))
+        lvl = lvl.select(*dims, digest_col)
+        out = lvl if out is None else out.unionByName(lvl)
     return out
 
 

@@ -571,3 +571,40 @@ def test_sql_build_drops_nan_and_bad_weights(spark):
     rb = {r["g"]: (r["p50"], r["tw"]) for r in b.collect()}
     assert ra == rb and len(ra) == 2
     assert ra["a"][1] == 4.0  # surviving rows (v,w) = (1,1),(6,2),(8,1)
+
+
+def test_cube_three_dims_lattice_descent(spark, sf_dir):
+    """3-dim cube: every one of the 8 subset levels (derived by lattice
+    descent — each from its immediate parent, chains up to depth 3)
+    must match SQL GROUP BY CUBE + quantile_cont exactly in lossless
+    mode."""
+    from tdigest_spark.operators.digest_agg import tdigest_cube
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            (F.col("event_id") % 3).cast("int").alias("b1"),
+            (F.col("event_id") % 2).cast("int").alias("b2"),
+            "value",
+        )
+    )
+    cubed = tdigest_cube(ev, "value", ["event_type", "b1", "b2"], delta=LOSSLESS)
+    got = tdigest_stats(cubed, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    gp = {
+        (r["event_type"], r["b1"], r["b2"]): (int(r["n"]), round(r["p50"], 6))
+        for r in got.collect()
+    }
+    ref = duckdb.sql(
+        f"""
+        SELECT event_type, event_id % 3 AS b1, event_id % 2 AS b2,
+               quantile_cont(value, 0.5) AS p50, count(value) AS n
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY CUBE(event_type, b1, b2)
+        """
+    ).fetchall()
+    assert len(ref) == len(gp)
+    for et, b1, b2, p50, n in ref:
+        k = (et, None if b1 is None else int(b1), None if b2 is None else int(b2))
+        assert gp[k][0] == n, k
+        assert gp[k][1] == pytest.approx(p50, abs=1e-6), k
