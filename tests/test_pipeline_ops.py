@@ -460,3 +460,49 @@ def test_oversized_buckets_enumerates_dropped_mass(spark):
     # default (no cap) finds the full clique
     uncapped = lsh_candidate_pairs(sigs, "doc_id")
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_exact_dedup_nested_negative_zero_and_map_rejection(spark):
+    """-0.0 nested inside array/struct dedup columns must compare equal
+    to 0.0 (matching SQL grouping semantics at any depth), and
+    map-typed columns are rejected (to_json key order is not
+    canonical)."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 2.0])],
+        "id long, xs array<double>",
+    ).withColumn(
+        # plant a genuine -0.0 in row 2's array (literal -0.0 would be
+        # normalized by the parser; -1.0 * 0.0 evaluates to -0.0)
+        "xs",
+        F.when(
+            F.col("id") == 2,
+            F.array(F.lit(1.0), F.lit(-1.0) * F.lit(0.0)),
+        ).otherwise(F.col("xs")),
+    )
+    survivors = sorted(
+        r["id"] for r in exact_dedup(df, ["xs"], "id", keep="min").collect()
+    )
+    assert survivors == [1, 3]  # row 2's [1.0, -0.0] == row 1's [1.0, 0.0]
+
+    # struct nesting too
+    df2 = spark.createDataFrame([(1, 0.0), (2, 0.0), (3, 5.0)], "id long, v double")
+    df2 = df2.withColumn(
+        "s",
+        F.struct(
+            F.when(F.col("id") == 2, F.lit(-1.0) * F.lit(0.0))
+            .otherwise(F.col("v"))
+            .alias("v")
+        ),
+    )
+    survivors2 = sorted(
+        r["id"] for r in exact_dedup(df2, ["s"], "id", keep="min").collect()
+    )
+    assert survivors2 == [1, 3]
+
+    df3 = df2.withColumn("m", F.create_map(F.lit("k"), F.col("v")))
+    with pytest.raises(ValueError, match="map-typed"):
+        exact_dedup(df3, ["m"], "id")
