@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tdigest_spark.operators.digest_agg import canon_key
+
 __all__ = ["approx_topk", "cms_topk_estimates"]
 
 # per-(partition x group) counter capacity = _MG_CAP_FACTOR * m: the
@@ -84,7 +86,11 @@ def _local_candidates(
         for pdf in batches:
             groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
             for g_key, g in groups:
-                g_key = g_key if isinstance(g_key, tuple) else (g_key,)
+                # canon_key: a NaN group key must hit ONE accumulator
+                # across batches (here only the candidate-set size is
+                # at stake — the exact recount groups Spark-side — but
+                # a split accumulator also halves the MG guarantee)
+                g_key = canon_key(g_key if isinstance(g_key, tuple) else (g_key,))
                 _mg_add_batch(counts.setdefault(g_key, {}), g[key_col].dropna(), cap)
         if not counts:
             return
