@@ -8,8 +8,10 @@ Runs the headline sketch-build + merge workloads at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-workload sec...}, "sf": ..., ...aux...}
 
-Aux keys: ``rows_per_sec`` per workload, and a ``scaling`` object in
-EVERY run — throughput at two parallelism levels + efficiency, the
+Aux keys: ``rows_per_sec`` per workload, a ``rank_error`` object
+(p50/p99/p999 quantile rank-error vs the exact empirical CDF — the
+accuracy half of the BASELINE metric string), and a ``scaling`` object
+in EVERY run — throughput at two parallelism levels + efficiency, the
 sandbox stand-in for the north_rule's N vs 4N executor criterion
 (``--scaling`` = the full-size protocol; see BENCH.md).
 
@@ -158,8 +160,9 @@ def _run_suite(master: str, sf_dir: str, names=None):
         if n:
             rates[name] = round(n / dt, 1)
     noise_ref = _noise_ref(spark)
+    rank_err = _rank_error(spark)
     spark.stop()
-    return times, rates, noise_ref
+    return times, rates, noise_ref, rank_err
 
 
 def _noise_ref(spark) -> float:
@@ -176,6 +179,81 @@ def _noise_ref(spark) -> float:
     return round(min(trials), 3)
 
 
+RANK_ERR_DOCS = 1_000_000
+
+
+def _rank_error(spark) -> dict:
+    """North-metric probe (BASELINE.json: "... and p50/p99/p999
+    quantile rank-error"): the distributed delta=200 digest over 1M
+    synthetic webpage text lengths, estimates probed against the exact
+    empirical CDF. Ties make an estimate's true rank an interval
+    [lo, hi]; the error is q's distance to that interval — the same
+    convention the property tests use
+    (tests/test_tdigest_core.py::test_rank_error_bound). Reported per
+    probe: the measured error, the tight k1 figure 6*q*(1-q)/delta,
+    and the data's own discreteness floor (tie mass of the atom at
+    rank q) — integer-valued features quantize the achievable rank
+    resolution independently of the digest.
+    """
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
+    from tdigest_spark.sources.webpages import synth_webpages
+
+    import numpy as np
+
+    delta = 200
+    probes = {"p50": 0.5, "p99": 0.99, "p999": 0.999}
+    n = RANK_ERR_DOCS
+    # generated once, read by the distributed digest build AND pulled
+    # to the driver for the exact CDF (1M doubles = 8 MB — bench-probe
+    # only; production queries never collect the data)
+    pages = (
+        synth_webpages(spark, n, n_partitions=32)
+        .select(F.length("text").cast("double").alias("n_chars"))
+        .localCheckpoint(eager=True)
+    )
+    dig = tdigest_agg(pages, "n_chars", delta=delta)
+    est = tdigest_stats(
+        dig, {k: ("quantile", q) for k, q in probes.items()}
+    ).collect()[0]
+    sv = np.sort(pages.toPandas()["n_chars"].to_numpy())
+    out: dict = {"workload": "webpages_text_len", "delta": delta, "n_docs": n}
+    worst = 0.0
+    for k, q in probes.items():
+        e = float(est[k])
+        lo = np.searchsorted(sv, e, side="left") / n
+        hi = np.searchsorted(sv, e, side="right") / n
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        # discreteness floor: text lengths are integers (~300 distinct
+        # values over 1M docs), so the empirical CDF is a step function
+        # and the atom CONTAINING rank q carries `tie_mass` — an
+        # interpolated estimate that lands between atoms can be off by
+        # up to that mass no matter how fine the digest. Gate on
+        # max(k1 bound, tie mass); report both so the artifact shows
+        # which one binds.
+        vq = sv[min(n - 1, int(np.ceil(q * n)) - 1)]
+        tie = (
+            np.searchsorted(sv, vq, side="right")
+            - np.searchsorted(sv, vq, side="left")
+        ) / n
+        worst = max(worst, err)
+        out[k] = {
+            "q": q,
+            "est": round(e, 3),
+            "abs_rank_error": round(err, 6),
+            "bound_k1": round(max(6.0 * q * (1 - q) / delta, 2.0 / n), 6),
+            "tie_mass_at_q": round(float(tie), 6),
+        }
+    out["within_bound"] = all(
+        out[k]["abs_rank_error"]
+        <= max(out[k]["bound_k1"], out[k]["tie_mass_at_q"])
+        for k in probes
+    )
+    out["max_abs_rank_error"] = round(worst, 6)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -187,7 +265,7 @@ def main() -> None:
     except OSError:
         load_avg = None
 
-    times, rates, noise_ref = _run_suite(f"local[{cpus}]", sf_dir)
+    times, rates, noise_ref, rank_err = _run_suite(f"local[{cpus}]", sf_dir)
     out = {
         "metric": "sketch_build_merge_total_sec",
         "value": round(sum(times.values()), 3),
@@ -208,6 +286,10 @@ def main() -> None:
         "queries_vs_noise_ref": {
             k: round(v / noise_ref, 2) for k, v in times.items()
         } if noise_ref else {},
+        # the metric string's accuracy half: p50/p99/p999 quantile
+        # rank-error of the distributed digest vs the exact empirical
+        # CDF on the north-star-shaped webpages table
+        "rank_error": rank_err,
     }
 
     # the north_rule's two-cluster-size criterion: EVERY bench run
