@@ -41,7 +41,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from tdigest_spark.sketch.tdigest import TDigest
 
-__all__ = ["stateful_digest_stream", "windowed_digest_stream", "digest_sink"]
+__all__ = [
+    "stateful_digest_stream",
+    "windowed_digest_stream",
+    "digest_sink",
+    "sketch_sink",
+]
 
 # state = flattened digest (arrays + scalars); GroupState rows are
 # plain tuples in schema field order
@@ -293,52 +298,133 @@ def digest_sink(
     callback; for object-storage tables use the Iceberg path in
     ``sources.catalog``, whose commit protocol does this natively.
     Returns the StreamingQuery."""
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_merge_agg
+
+    by = list(by)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = _last_committed_batch(table_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged
+        new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
+        if last is not None:
+            old = spark.read.parquet(table_dir)
+            merged = tdigest_merge_agg(old.unionByName(new), by=by)
+        else:
+            merged = new
+        _commit_snapshot(merged, table_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _last_committed_batch(table_dir: str) -> int | None:
+    """Resolve the snapshot pointer: the last-merged batch id, or None
+    if the table doesn't exist yet. A missing table is detected
+    explicitly via the pointer, never by swallowing read errors."""
+    import json
+    import os
+
+    if os.path.lexists(table_dir) and not os.path.islink(table_dir):
+        raise ValueError(
+            f"snapshot sink: {table_dir!r} exists as a plain directory "
+            "(pre-snapshot-pointer layout); move it aside or start a "
+            "new table_dir"
+        )
+    if not os.path.lexists(table_dir):
+        return None
+    with open(os.path.join(table_dir, "_meta.json")) as f:
+        return json.load(f)["last_batch"]
+
+
+def _commit_snapshot(merged: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Write ``merged`` as snapshot ``v{batch_id}`` and atomically
+    repoint ``table_dir`` (a symlink) at it — data and the
+    last-merged-batch marker commit in ONE step (the protocol described
+    in :func:`digest_sink`'s docstring). Keeps the predecessor snapshot
+    for readers mid-scan and prunes anything older."""
     import json
     import os
     import shutil
 
-    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_merge_agg
+    snap_root = f"{table_dir}.snapshots"
+    snap = os.path.join(snap_root, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(snap)
+    with open(os.path.join(snap, "_meta.json"), "w") as f:
+        json.dump({"last_batch": batch_id}, f)
+    # the commit point: one atomic pointer swap (data + marker)
+    tmplink = f"{table_dir}.lnk.tmp"
+    if os.path.lexists(tmplink):
+        os.remove(tmplink)
+    os.symlink(os.path.abspath(snap), tmplink)
+    os.replace(tmplink, table_dir)
+    # prune all but the current snapshot AND its predecessor: a
+    # reader that resolved the pointer just before this commit may
+    # still be scanning the previous snapshot — it is deleted one
+    # commit later, never under a live reader
+    vs = sorted(
+        int(s[1:]) for s in os.listdir(snap_root)
+        if s.startswith("v") and s[1:].isdigit()
+    )
+    for old in vs[:-2]:
+        shutil.rmtree(os.path.join(snap_root, f"v{old}"), ignore_errors=True)
+
+
+def sketch_sink(
+    stream: DataFrame,
+    specs: dict[str, tuple],
+    by: Sequence[str],
+    table_dir: str,
+    checkpoint_dir: str,
+    strategy: str = "partials",
+):
+    """foreachBatch sink for the COMPANION sketches — the
+    HLL / CMS / KLL / Bloom counterpart of :func:`digest_sink`, so
+    every sketch family the north rule names accumulates incrementally
+    and resumably, not just the t-digest. Each micro-batch builds its
+    sketches in one pass (``sketch_build``; ``specs`` maps output
+    column -> ``(kind, value_col, *params)``) and merges them into a
+    checkpoint parquet table of binary blobs (``sketch_merge_agg``)
+    under the same atomic snapshot-pointer commit protocol as
+    :func:`digest_sink` — exactly-once per micro-batch, crash-safe
+    replay, readable at any time via ``spark.read.parquet(table_dir)``.
+
+    Accuracy: HLL (register max), CMS (counter add) and Bloom (bit OR)
+    merges are exactly chunking-invariant, so the streamed table equals
+    the batch build over the same rows bit-for-bit; KLL matches exactly
+    while lossless (n within capacity) and stays inside its published
+    rank bound beyond. Returns the StreamingQuery."""
+    from tdigest_spark.operators.sketch_agg import (
+        _norm_specs,
+        sketch_build,
+        sketch_merge_agg,
+    )
 
     by = list(by)
-    snap_root = f"{table_dir}.snapshots"
+    specs = dict(specs)
+    # validate + derive blob-column kinds up front (fail at sink
+    # construction, not mid-stream); sketch_build normalizes again
+    kinds = {name: sp[0] for name, sp in _norm_specs(specs).items()}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.lexists(table_dir) and not os.path.islink(table_dir):
-            raise ValueError(
-                f"digest_sink: {table_dir!r} exists as a plain directory "
-                "(pre-snapshot-pointer layout); move it aside or start a "
-                "new table_dir"
-            )
-        if os.path.lexists(table_dir):
-            with open(os.path.join(table_dir, "_meta.json")) as f:
-                if batch_id <= json.load(f)["last_batch"]:
-                    return  # replayed batch: already merged
+        last = _last_committed_batch(table_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged
+        new = sketch_build(batch_df, specs, by=by, strategy=strategy)
+        if last is not None:
             old = spark.read.parquet(table_dir)
-            new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
-            merged = tdigest_merge_agg(old.unionByName(new), by=by)
+            merged = sketch_merge_agg(
+                old.unionByName(new), kinds, by=by, strategy=strategy
+            )
         else:
-            merged = tdigest_agg(batch_df, value_col, by=by, delta=delta)
-        snap = os.path.join(snap_root, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(snap)
-        with open(os.path.join(snap, "_meta.json"), "w") as f:
-            json.dump({"last_batch": batch_id}, f)
-        # the commit point: one atomic pointer swap (data + marker)
-        tmplink = f"{table_dir}.lnk.tmp"
-        if os.path.lexists(tmplink):
-            os.remove(tmplink)
-        os.symlink(os.path.abspath(snap), tmplink)
-        os.replace(tmplink, table_dir)
-        # prune all but the current snapshot AND its predecessor: a
-        # reader that resolved the pointer just before this commit may
-        # still be scanning the previous snapshot — it is deleted one
-        # commit later, never under a live reader
-        vs = sorted(
-            int(s[1:]) for s in os.listdir(snap_root)
-            if s.startswith("v") and s[1:].isdigit()
-        )
-        for old in vs[:-2]:
-            shutil.rmtree(os.path.join(snap_root, f"v{old}"), ignore_errors=True)
+            merged = new
+        _commit_snapshot(merged, table_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)

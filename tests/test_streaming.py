@@ -213,6 +213,67 @@ def test_streaming_bloom_dedup(spark, sf_dir, tmp_path):
     assert set(got) == set(pdf["event_id"])  # every key exactly once
 
 
+def test_sketch_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
+    """Companion-sketch streaming sink: three micro-batches merged into
+    a blob table must equal the single-pass batch build BYTE-FOR-BYTE —
+    HLL register-max, CMS counter-add and Bloom bit-OR merges are
+    exactly chunking-invariant, so streamed == batch is an equality,
+    not a bound. Replay with a fresh checkpoint must be a no-op (same
+    snapshot-pointer protocol as digest_sink)."""
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+    from tdigest_spark.streaming.digest_stream import sketch_sink
+
+    schema = "event_type string, value double"
+    specs = {
+        "hll_v": ("hll", "value"),
+        "cms_v": ("cms", "value"),
+        "bloom_v": ("bloom", "value"),
+    }
+    table = str(tmp_path / "sketch_table")
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/chunk=*")
+        )
+        q = sketch_sink(stream, specs, ["event_type"], table, str(tmp_path / ck))
+        q.awaitTermination(300)
+
+    run("ck_sk_a")
+
+    def blobs(df):
+        return {
+            r["event_type"]: tuple(bytes(r[c]) for c in specs)
+            for r in df.select("event_type", *specs).collect()
+        }
+
+    streamed = blobs(spark.read.parquet(table))
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    batch = blobs(sketch_build(ev, specs, by=["event_type"]))
+    assert streamed == batch
+
+    # estimates sanity: per-type HLL distinct count within 3 sigma
+    est = {
+        r["event_type"]: r["nd"]
+        for r in sketch_estimates(
+            spark.read.parquet(table), {"nd": ("hll_estimate", "hll_v")}
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("value").alias("nd"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= 3 * 1.04 / (2**6) * n + 3  # p=12 -> m=4096
+
+    # replay: fresh checkpoint redelivers batch ids 0..n — all skipped
+    run("ck_sk_b")
+    assert blobs(spark.read.parquet(table)) == streamed
+
+
 def test_digest_sink_replay_is_idempotent(spark, sf_dir, stream_dir, tmp_path):
     """Redelivered batch ids (fresh checkpoint, same table) must be
     skipped — the snapshot-pointer commit carries the last merged batch
