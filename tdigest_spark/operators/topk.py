@@ -43,7 +43,7 @@ __all__ = ["approx_topk", "cms_topk_estimates"]
 _MG_CAP_FACTOR = 8
 
 
-def _mg_add_batch(counts: dict[str, int], series: pd.Series, cap: int) -> None:
+def _mg_add_batch(counts: dict[str, int], series: pd.Series, cap: int) -> int:
     """Misra-Gries batched update with HARD capacity ``cap``:
     add the batch's value counts, then — if over capacity — decrement
     every counter by the (cap+1)-th largest residual and drop the
@@ -52,19 +52,28 @@ def _mg_add_batch(counts: dict[str, int], series: pd.Series, cap: int) -> None:
     (transiently O(cap + batch-distinct) inside one batch, bounded by
     the Arrow batch size), and any value with true partition frequency
     > N_partition/(cap+1) is guaranteed to survive (total decremented
-    mass per counter <= N/(cap+1))."""
+    mass per counter <= N/(cap+1)).
+
+    Returns the decrement applied (0 if the batch fit in capacity):
+    accumulating it across calls gives the EXACT total under-count,
+    i.e. every value's true count so far lies in
+    [residual, residual + sum-of-returns] — at most the classic
+    N/(cap+1) but 0 while no eviction has ever fired (the streaming
+    operator reports this as its error interval)."""
     for v, n in series.value_counts().items():
         counts[v] = counts.get(v, 0) + int(n)
-    if len(counts) > cap:
-        import numpy as np
+    if len(counts) <= cap:
+        return 0
+    import numpy as np
 
-        vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        # (cap+1)-th largest residual = decrement that leaves <= cap
-        thr = int(np.partition(vals, len(vals) - (cap + 1))[len(vals) - (cap + 1)])
-        for v in [v for v, n in counts.items() if n - thr <= 0]:
-            del counts[v]
-        for v in counts:
-            counts[v] -= thr
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (cap+1)-th largest residual = decrement that leaves <= cap
+    thr = int(np.partition(vals, len(vals) - (cap + 1))[len(vals) - (cap + 1)])
+    for v in [v for v, n in counts.items() if n - thr <= 0]:
+        del counts[v]
+    for v in counts:
+        counts[v] -= thr
+    return thr
 
 
 def _local_candidates(

@@ -274,6 +274,97 @@ def test_sketch_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
     assert blobs(spark.read.parquet(table)) == streamed
 
 
+@pytest.fixture(scope="module")
+def zipf_stream_dir(spark, tmp_path_factory):
+    """Zipf-keyed (g, key) pairs split into 3 chunks — a skewed
+    high-cardinality stream for the heavy-hitter state operator."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("zipf_src")
+    rng = np.random.default_rng(7)
+    n = 30_000
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{v}" for v in rng.integers(0, 2, n)],
+            "key": [f"k{int(v)}" for v in np.minimum(rng.zipf(1.5, n), 400)],
+        }
+    )
+    for i, chunk in enumerate(np.array_split(pdf.index.to_numpy(), 3)):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.parquet(
+            str(d / f"chunk={i}")
+        )
+    return d, pdf
+
+
+def _run_topk_stream(spark, src_dir, tmp_path, name, k, m):
+    from tdigest_spark.streaming.topk_stream import stateful_topk_stream
+
+    stream = (
+        spark.readStream.schema("g string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    out = stateful_topk_stream(stream, "key", ["g"], k=k, m=m)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # final emission per group = the rows carrying that group's max n_rows
+    return spark.sql(
+        f"""SELECT * FROM {name}
+            WHERE (g, n_rows) IN (SELECT g, max(n_rows) FROM {name} GROUP BY g)"""
+    ).toPandas()
+
+
+def test_stateful_topk_stream(spark, zipf_stream_dir, tmp_path):
+    """Streaming Misra-Gries heavy hitters: with capacity above the
+    distinct-key count the result is EXACT (no decrement ever fires);
+    with a tiny capacity forcing evictions every [cnt_min, cnt_max]
+    interval must still contain the true count and the interval width
+    must match the published n/(cap+1) guarantee. State is O(capacity)
+    counters per group regardless of stream length."""
+    src_dir, pdf = zipf_stream_dir
+    exact = pdf.groupby(["g", "key"]).size()
+    n_per_g = pdf.groupby("g").size()
+
+    # --- lossless regime: cap = 8*64 = 512 > 400 distinct keys
+    got = _run_topk_stream(spark, src_dir, tmp_path, "topk_exact", 5, None)
+    for g, sub in got.groupby("g"):
+        sub = sub.sort_values("rank")
+        want = (
+            exact[g]
+            .reset_index()
+            .rename(columns={0: "cnt"})
+            .sort_values(["cnt", "key"], ascending=[False, True])
+            .head(5)
+        )
+        assert list(sub["key"]) == list(want["key"])
+        assert list(sub["cnt_min"]) == list(want["cnt"])
+        # no eviction ever fired -> dec_total = 0 -> interval collapses
+        assert (sub["cnt_min"] == sub["cnt_max"]).all()
+        assert (sub["n_rows"] == n_per_g[g]).all()
+
+    # --- forced-eviction regime: cap = 8*2 = 16 << 400 distinct
+    got = _run_topk_stream(spark, src_dir, tmp_path, "topk_tiny", 5, 2)
+    for g, sub in got.groupby("g"):
+        widths = (sub["cnt_max"] - sub["cnt_min"]).unique()
+        # evictions fired; the incurred decrement is one exact value
+        # per group, within the classic n/(cap+1) guarantee
+        assert len(widths) == 1 and 0 < widths[0] <= int(n_per_g[g]) // 17
+        for _, r in sub.iterrows():
+            true = int(exact[g].get(r["key"], 0))
+            assert r["cnt_min"] <= true <= r["cnt_max"], (g, r["key"], true)
+        # the Zipf head is far above the n/(cap+1) admission bar and
+        # must always survive to rank 1
+        top_true = exact[g].idxmax()
+        assert sub.sort_values("rank")["key"].iloc[0] == top_true
+
+
 def test_digest_sink_replay_is_idempotent(spark, sf_dir, stream_dir, tmp_path):
     """Redelivered batch ids (fresh checkpoint, same table) must be
     skipped — the snapshot-pointer commit carries the last merged batch
