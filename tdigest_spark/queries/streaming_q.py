@@ -59,7 +59,7 @@ def st_digest_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HLL_3SIG = 3 * 1.04 / 64.0  # p=12 -> 4096 registers
+from tdigest_spark.queries.sketch_q import _HLL_3SIG  # derived from the build's _HLL_P
 
 
 def st_sketch_sink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
