@@ -417,7 +417,23 @@ def sketch_sink(
         if last is not None and batch_id <= last:
             return  # replayed batch: already merged
         new = sketch_build(batch_df, specs, by=by, strategy=strategy)
-        if last is not None:
+        if last is not None and by:
+            # incremental-view maintenance: only groups PRESENT in this
+            # micro-batch go through the Python merge stage; every
+            # other group's blobs pass through untouched (no
+            # deserialize/merge/reserialize) — at 1e5+ groups with
+            # sparse batches the per-batch work is O(touched groups),
+            # not O(all groups). localCheckpoint: `new` feeds both the
+            # key set and the merge (one Python build, not two).
+            new = new.localCheckpoint(eager=True)
+            old = spark.read.parquet(table_dir)
+            keys = new.select(*by).distinct()
+            touched = old.join(keys, by, "left_semi")
+            untouched = old.join(keys, by, "left_anti")
+            merged = sketch_merge_agg(
+                touched.unionByName(new), kinds, by=by, strategy=strategy
+            ).unionByName(untouched)
+        elif last is not None:
             old = spark.read.parquet(table_dir)
             merged = sketch_merge_agg(
                 old.unionByName(new), kinds, by=by, strategy=strategy

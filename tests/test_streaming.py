@@ -274,6 +274,48 @@ def test_sketch_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
     assert blobs(spark.read.parquet(table)) == streamed
 
 
+def test_sketch_sink_untouched_groups_pass_through(spark, tmp_path):
+    """Incremental-view maintenance: a group absent from later
+    micro-batches takes the anti-join pass-through (its blobs are never
+    re-merged), and the final table still equals the batch build over
+    all rows — HLL/CMS merges are commutative so pass-through order
+    can't change the bytes."""
+    import pandas as pd
+
+    from tdigest_spark.operators.sketch_agg import sketch_build
+    from tdigest_spark.streaming.digest_stream import sketch_sink
+
+    d = tmp_path / "src_pt"
+    chunks = [
+        pd.DataFrame({"g": ["a", "b", "b"], "v": ["x", "y", "z"]}),
+        pd.DataFrame({"g": ["b", "b"], "v": ["y", "w"]}),  # 'a' absent
+        pd.DataFrame({"g": ["b"], "v": ["q"]}),
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(str(d / f"chunk={i}"))
+    stream = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk=*")
+    )
+    specs = {"h": ("hll", "v"), "c": ("cms", "v")}
+    table = str(tmp_path / "tbl_pt")
+    q = sketch_sink(stream, specs, ["g"], table, str(tmp_path / "ck_pt"))
+    q.awaitTermination(300)
+    got = {
+        r["g"]: (bytes(r["h"]), bytes(r["c"]))
+        for r in spark.read.parquet(table).collect()
+    }
+    allpdf = pd.concat(chunks, ignore_index=True)
+    want = {
+        r["g"]: (bytes(r["h"]), bytes(r["c"]))
+        for r in sketch_build(
+            spark.createDataFrame(allpdf), specs, by=["g"]
+        ).collect()
+    }
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def zipf_stream_dir(spark, tmp_path_factory):
     """Zipf-keyed (g, key) pairs split into 3 chunks — a skewed
