@@ -308,7 +308,20 @@ def digest_sink(
         if last is not None and batch_id <= last:
             return  # replayed batch: already merged
         new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
-        if last is not None:
+        if last is not None and by:
+            # incremental-view maintenance (same split as sketch_sink):
+            # only groups present in this micro-batch go through the
+            # merge stage; untouched groups' digests pass through
+            # byte-identical — which is also more faithful, since
+            # re-merging a lone digest at working delta could
+            # re-compress it for no reason.
+            new = new.localCheckpoint(eager=True)
+            old = spark.read.parquet(table_dir)
+            keys = new.select(*by).distinct()
+            merged = tdigest_merge_agg(
+                old.join(keys, by, "left_semi").unionByName(new), by=by
+            ).unionByName(old.join(keys, by, "left_anti"))
+        elif last is not None:
             old = spark.read.parquet(table_dir)
             merged = tdigest_merge_agg(old.unionByName(new), by=by)
         else:

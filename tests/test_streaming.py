@@ -274,6 +274,49 @@ def test_sketch_sink_foreachbatch(spark, sf_dir, stream_dir, tmp_path):
     assert blobs(spark.read.parquet(table)) == streamed
 
 
+def test_digest_sink_untouched_groups_pass_through(spark, tmp_path):
+    """digest_sink's incremental-view split: a group absent from later
+    micro-batches is carried through the anti-join (never re-merged)
+    and the final stats equal the one-shot batch build exactly
+    (lossless)."""
+    import pandas as pd
+
+    from tdigest_spark.streaming.digest_stream import digest_sink
+
+    d = tmp_path / "src_dpt"
+    chunks = [
+        pd.DataFrame({"g": ["a", "b", "b"], "v": [1.0, 2.0, 3.0]}),
+        pd.DataFrame({"g": ["b", "b"], "v": [4.0, 5.0]}),  # 'a' absent
+        pd.DataFrame({"g": ["b"], "v": [6.0]}),
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(str(d / f"chunk={i}"))
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk=*")
+    )
+    table = str(tmp_path / "tbl_dpt")
+    q = digest_sink(stream, "v", ["g"], table, str(tmp_path / "ck_dpt"), delta=LOSSLESS)
+    q.awaitTermination(300)
+    got = {
+        r["g"]: (r["n"], r["p50"])
+        for r in tdigest_stats(
+            spark.read.parquet(table),
+            {"p50": ("quantile", 0.5), "n": ("total_weight",)},
+        ).collect()
+    }
+    allpdf = pd.concat(chunks, ignore_index=True)
+    want = {
+        r["g"]: (r["n"], r["p50"])
+        for r in tdigest_stats(
+            tdigest_agg(spark.createDataFrame(allpdf), "v", by=["g"], delta=LOSSLESS),
+            {"p50": ("quantile", 0.5), "n": ("total_weight",)},
+        ).collect()
+    }
+    assert got == want
+
+
 def test_sketch_sink_untouched_groups_pass_through(spark, tmp_path):
     """Incremental-view maintenance: a group absent from later
     micro-batches takes the anti-join pass-through (its blobs are never
