@@ -55,6 +55,25 @@ _EXPORTS = {
     "build_ivf_index": ("tdigest_spark.operators.similarity", "build_ivf_index"),
     "ivf_topk_indexed": ("tdigest_spark.operators.similarity", "ivf_topk_indexed"),
     "append_ivf_index": ("tdigest_spark.operators.similarity", "append_ivf_index"),
+    # streaming
+    "stateful_digest_stream": (
+        "tdigest_spark.streaming.digest_stream",
+        "stateful_digest_stream",
+    ),
+    "windowed_digest_stream": (
+        "tdigest_spark.streaming.digest_stream",
+        "windowed_digest_stream",
+    ),
+    "digest_sink": ("tdigest_spark.streaming.digest_stream", "digest_sink"),
+    "sketch_sink": ("tdigest_spark.streaming.digest_stream", "sketch_sink"),
+    "stateful_topk_stream": (
+        "tdigest_spark.streaming.topk_stream",
+        "stateful_topk_stream",
+    ),
+    "streaming_bloom_dedup": (
+        "tdigest_spark.streaming.dedup_stream",
+        "streaming_bloom_dedup",
+    ),
     # SQL surface
     "register_sql_functions": (
         "tdigest_spark.functions.sql_udfs",
