@@ -161,3 +161,43 @@ def test_kll_cdf_is_monotone(xs, k):
     cdfs = [s.cdf(float(x)) for x in probes]
     assert all(b >= a - 1e-12 for a, b in zip(cdfs, cdfs[1:]))
     assert cdfs[0] == 0.0 and cdfs[-1] == 1.0
+
+
+# ---------------------------------------------------------- Misra-Gries
+
+from tdigest_spark.operators.topk import _mg_add_batch  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 12),
+    st.lists(st.integers(1, 50), min_size=1, max_size=8),
+)
+def test_misra_gries_interval_invariant(vals, cap, cuts):
+    """For ANY chunking of ANY stream: every key's true count lies in
+    [residual, residual + dec_total]; dec_total never exceeds the
+    classic n // (cap + 1); the summary never holds more than cap
+    counters — the invariants stateful_topk_stream's error interval
+    is built on."""
+    import pandas as pd
+
+    keys = [f"k{v}" for v in vals]
+    # cuts -> deterministic chunk boundaries within the stream
+    bounds = sorted({min(len(keys), c) for c in cuts})
+    chunks, prev = [], 0
+    for b in bounds + [len(keys)]:
+        if b > prev:
+            chunks.append(keys[prev:b])
+            prev = b
+    counts: dict[str, int] = {}
+    dec = 0
+    for ch in chunks:
+        dec += _mg_add_batch(counts, pd.Series(ch, dtype=object), cap)
+        assert len(counts) <= cap
+    n = len(keys)
+    assert dec <= n // (cap + 1)
+    true = pd.Series(keys, dtype=object).value_counts().to_dict()
+    for k in set(true) | set(counts):
+        res = counts.get(k, 0)
+        assert res <= true.get(k, 0) <= res + dec, (k, res, true.get(k), dec)
