@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 # registration order = the order the driver evaluates queries. The
 # driver records AT MOST 50 rows (r1: 50 of 53 registered; r2: 50 of
 # 61 — both exactly 50, a hard count cap), so round 3 consolidated the
-# registry to 49 queries with no loss of operator coverage (merged
+# registry to exactly 50 queries with no loss of operator coverage (merged
 # same-operator queries; see each family's docstrings) — EVERY
 # registered query now fits the cap. Order still matters as a hedge:
 # the families whose last driver-green signal is oldest (dedup &
