@@ -25,6 +25,10 @@ _EXPORTS = {
     ),
     "tdigest_stats": ("tdigest_spark.operators.digest_agg", "tdigest_stats"),
     "tdigest_cdf_at": ("tdigest_spark.operators.digest_agg", "tdigest_cdf_at"),
+    "with_percentile_rank": (
+        "tdigest_spark.operators.digest_agg",
+        "with_percentile_rank",
+    ),
     "tdigest_histogram": ("tdigest_spark.operators.digest_agg", "tdigest_histogram"),
     "tdigest_rollup": ("tdigest_spark.operators.digest_agg", "tdigest_rollup"),
     "tdigest_cube": ("tdigest_spark.operators.digest_agg", "tdigest_cube"),

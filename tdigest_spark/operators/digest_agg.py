@@ -653,6 +653,77 @@ def tdigest_cdf_at(
     return df.mapInPandas(evaluate, out_schema)
 
 
+def with_percentile_rank(
+    rows: DataFrame,
+    digests: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    out_col: str = "pct_rank",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Score EVERY row with its group digest's mid-rank cdf at the
+    row's value — the per-row companion of :func:`tdigest_cdf_at`, and
+    the curation-filter building block ("keep documents above their
+    language's p90 quality") without computing thresholds first.
+
+    Scale shape: the digest table is O(groups x delta), so it is
+    collected ONCE, serialized to compact blobs, and broadcast as plain
+    data; the raw rows are then scored in place by one mapInPandas
+    stage using the vectorized ``cdf_many`` kernel. The rows are never
+    shuffled or joined — a broadcast JOIN + :func:`tdigest_cdf_at`
+    would instead push one O(delta) digest-struct copy PER ROW through
+    Arrow. Rows whose group has no digest (or a NULL digest) get NULL;
+    NULL and NaN group keys are conflated for the lookup (the module's
+    pandas-groupby NaN policy).
+    """
+    import numpy as np
+
+    by = list(by)
+    blobs: dict[tuple, bytes] = {}
+    for r in digests.select(*by, digest_col).collect():
+        if r[digest_col] is None:
+            continue
+        key = _null_nan_key(tuple(r[c] for c in by))
+        blobs[key] = TDigest.from_row(r[digest_col].asDict()).to_bytes()
+    bc = rows.sparkSession.sparkContext.broadcast(blobs)
+    out_schema = T.StructType(
+        list(rows.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple, TDigest] = {}
+        for pdf in batches:
+            out = pdf.copy()
+            res = np.full(len(pdf), np.nan)
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if by:
+                groups = pdf.groupby(by, sort=False, dropna=False).indices
+            else:
+                groups = {(): np.arange(len(pdf))}
+            for gk, idx in groups.items():
+                key = _null_nan_key(gk if isinstance(gk, tuple) else (gk,))
+                blob = bc.value.get(key)
+                if blob is None:
+                    continue
+                dig = cache.get(key)
+                if dig is None:
+                    dig = cache.setdefault(key, TDigest.from_bytes(blob))
+                res[idx] = dig.cdf_many(vals[idx])
+            out[out_col] = res
+            yield out
+
+    return rows.mapInPandas(score, out_schema)
+
+
+def _null_nan_key(key: tuple) -> tuple:
+    """canon_key plus None -> NaN-sentinel: a NULL numeric group key
+    collects as None on the driver but surfaces as float NaN in a
+    pandas batch; both must hit the same dict slot."""
+    return tuple(
+        _NAN if k is None or (isinstance(k, float) and k != k) else k for k in key
+    )
+
+
 def tdigest_histogram(
     df: DataFrame, digest_col: str = "digest", out_col: str = "histogram"
 ) -> DataFrame:

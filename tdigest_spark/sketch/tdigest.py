@@ -470,6 +470,44 @@ class TDigest:
         frac = (x - ux[k]) / (ux[k + 1] - ux[k])
         return float((t_hi[k] + frac * (t_lo[k + 1] - t_hi[k])) / tw)
 
+    def cdf_many(self, xs: np.ndarray) -> np.ndarray:
+        """Vectorized :meth:`cdf` — identical branch semantics
+        (mid-rank at centroid-mean atoms, jump-aware interpolation
+        between them), one numpy pass for a whole batch of probes.
+        Returns NaN per probe on an empty digest (the vector form of
+        the scalar's None)."""
+        xs = np.asarray(xs, dtype=np.float64)
+        out = np.full(xs.shape, np.nan)
+        if self.is_empty():
+            return out
+        tw = self.total_weight
+        m = self.means
+        centers = self._centers()
+        i = np.searchsorted(m, xs, side="left")
+        j = np.searchsorted(m, xs, side="right")
+        eq = i < j  # equals centroid mean(s): mid-rank of the tied span
+        if eq.any():
+            out[eq] = 0.5 * (centers[i[eq]] + centers[j[eq] - 1]) / tw
+        rest = ~eq
+        out[rest & (xs < self.vmin)] = 0.0
+        out[rest & (xs > self.vmax)] = 1.0
+        mid = rest & (xs >= self.vmin) & (xs <= self.vmax)
+        if mid.any():
+            nodes = np.concatenate(([self.vmin], m, [self.vmax]))
+            ts = np.concatenate(([0.0], centers, [tw]))
+            ux, first_idx = np.unique(nodes, return_index=True)
+            last_idx = np.searchsorted(nodes, ux, side="right") - 1
+            t_hi = ts[last_idx]
+            t_lo = ts[first_idx]
+            xm = xs[mid]
+            # left endpoint explicitly (the scalar form reaches t_lo[0]
+            # only through a frac=1 wrap-around accident at k=-1)
+            k = np.maximum(np.searchsorted(ux, xm, side="right") - 1, 0)
+            k = np.minimum(k, len(ux) - 2)
+            frac = (xm - ux[k]) / (ux[k + 1] - ux[k])
+            out[mid] = (t_hi[k] + frac * (t_lo[k + 1] - t_hi[k])) / tw
+        return out
+
     def density_histogram(self) -> list[tuple[float, float, float]]:
         """Density-normalized bins for plotting — the data behind
         tdigest-Chart's histogram render (bar height ``w/(hi-lo)/tw``,

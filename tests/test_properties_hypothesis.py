@@ -201,3 +201,17 @@ def test_misra_gries_interval_invariant(vals, cap, cuts):
     for k in set(true) | set(counts):
         res = counts.get(k, 0)
         assert res <= true.get(k, 0) <= res + dec, (k, res, true.get(k), dec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=300), small_delta)
+def test_cdf_many_matches_scalar(xs, delta):
+    """Vectorized cdf_many must agree with the scalar cdf everywhere:
+    data values, centroid atoms, support endpoints, out-of-range."""
+    d = TDigest.from_values(np.array(xs, dtype=float), delta)
+    probes = np.concatenate(
+        [np.array(xs, dtype=float), d.means, [d.vmin, d.vmax, d.vmin - 1.0, d.vmax + 1.0]]
+    )
+    vec = d.cdf_many(probes)
+    for x, c in zip(probes, vec):
+        assert abs(d.cdf(float(x)) - c) < 1e-12

@@ -608,3 +608,46 @@ def test_cube_three_dims_lattice_descent(spark, sf_dir):
         k = (et, None if b1 is None else int(b1), None if b2 is None else int(b2))
         assert gp[k][0] == n, k
         assert gp[k][1] == pytest.approx(p50, abs=1e-6), k
+
+
+def test_with_percentile_rank(spark, events, sf_dir):
+    """Per-row percentile rank against the group digest: lossless mode
+    equals the exact empirical mid-rank; matches the broadcast-join +
+    tdigest_cdf_at path; rows of a group with no digest get NULL."""
+    from tdigest_spark.operators.digest_agg import (
+        tdigest_cdf_at,
+        with_percentile_rank,
+    )
+
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    scored = with_percentile_rank(events, dig, "value", by=["event_type"])
+    pdf = scored.select("event_id", "event_type", "value", "pct_rank").toPandas()
+    assert len(pdf) == events.count()
+
+    ev = events.select("event_id", "event_type", "value").toPandas()
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        sub = pdf[pdf["event_type"] == et]
+        lo = np.searchsorted(v, sub["value"].to_numpy(), "left")
+        hi = np.searchsorted(v, sub["value"].to_numpy(), "right")
+        want = (lo + hi) / 2 / len(v)
+        np.testing.assert_allclose(sub["pct_rank"].to_numpy(), want, atol=1e-12)
+
+    # parity with the struct-per-row join path (same kernel semantics)
+    joined = events.join(F.broadcast(dig), "event_type")
+    alt = (
+        tdigest_cdf_at(joined, "value", "pct_rank")
+        .select("event_id", "pct_rank")
+        .toPandas()
+    )
+    merged = pdf.merge(alt, on="event_id", suffixes=("", "_alt"))
+    assert len(merged) == len(pdf)
+    np.testing.assert_allclose(merged["pct_rank"], merged["pct_rank_alt"], atol=1e-12)
+
+    # drop one group's digest -> its rows score NULL, others unaffected
+    miss = ev["event_type"].iloc[0]
+    scored2 = with_percentile_rank(
+        events, dig.where(F.col("event_type") != miss), "value", by=["event_type"]
+    ).select("event_type", "pct_rank").toPandas()
+    assert scored2.loc[scored2["event_type"] == miss, "pct_rank"].isna().all()
+    assert scored2.loc[scored2["event_type"] != miss, "pct_rank"].notna().all()
