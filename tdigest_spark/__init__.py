@@ -40,6 +40,8 @@ _EXPORTS = {
     "CountMin": ("tdigest_spark.sketch.cms", "CountMin"),
     "KLL": ("tdigest_spark.sketch.kll", "KLL"),
     "BloomFilter": ("tdigest_spark.sketch.bloom", "BloomFilter"),
+    "KMV": ("tdigest_spark.sketch.kmv", "KMV"),
+    "kmv_samples": ("tdigest_spark.operators.sketch_agg", "kmv_samples"),
     "sketch_build": ("tdigest_spark.operators.sketch_agg", "sketch_build"),
     "sketch_merge_agg": ("tdigest_spark.operators.sketch_agg", "sketch_merge_agg"),
     "sketch_estimates": ("tdigest_spark.operators.sketch_agg", "sketch_estimates"),

@@ -32,6 +32,7 @@ from tdigest_spark.sketch.bloom import BloomFilter
 from tdigest_spark.sketch.cms import CountMin
 from tdigest_spark.sketch.hll import HLL
 from tdigest_spark.sketch.kll import KLL
+from tdigest_spark.sketch.kmv import KMV
 
 __all__ = [
     "sketch_build",
@@ -43,6 +44,7 @@ __all__ = [
     "cms_grouped_probe",
     "sketch_agg",
     "hll_overlap",
+    "kmv_samples",
 ]
 
 
@@ -149,11 +151,35 @@ class _KLLWeightedKind(_Kind):
         return obj
 
 
+class _KMVKind(_Kind):
+    """Bottom-k distinct sample + KMV distinct estimate: spec is
+    ``("kmv", value_col, k=256)``."""
+
+    name, cast = "kmv", "string"
+
+    def new(self, params):
+        return KMV(k=params[0] if params else 256)
+
+
 KINDS: dict[str, _Kind] = {
     k.name: k
-    for k in (_HLLKind(), _BloomKind(), _CMSKind(), _KLLKind(), _KLLWeightedKind())
+    for k in (
+        _HLLKind(),
+        _BloomKind(),
+        _CMSKind(),
+        _KLLKind(),
+        _KLLWeightedKind(),
+        _KMVKind(),
+    )
 }
-_CLS = {"hll": HLL, "bloom": BloomFilter, "cms": CountMin, "kll": KLL, "kll_w": KLL}
+_CLS = {
+    "hll": HLL,
+    "bloom": BloomFilter,
+    "cms": CountMin,
+    "kll": KLL,
+    "kll_w": KLL,
+    "kmv": KMV,
+}
 
 
 def _norm_specs(specs: dict[str, tuple]) -> dict[str, tuple[str, str, tuple]]:
@@ -429,7 +455,32 @@ _EST_FNS = {
     "cms_total": ("cms", lambda o: float(o.total), T.DoubleType()),
     "cms_eps_bound": ("cms", lambda o: o.eps_bound(), T.DoubleType()),
     "bloom_fpp": ("bloom", lambda o: o.expected_fpp(), T.DoubleType()),
+    "kmv_estimate": ("kmv", lambda o: o.estimate(), T.DoubleType()),
 }
+
+
+def kmv_samples(
+    df: DataFrame, sketch_col: str, out_col: str = "sample"
+) -> DataFrame:
+    """Explode a KMV blob column into its uniform distinct-value
+    sample (array<string>, hash order = random order w.r.t. the
+    data). ``sketch_estimates`` handles the numeric estimate; this is
+    the value surface."""
+    keep = [c for c in df.columns if c != sketch_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), True)]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [
+                KMV.from_bytes(bytes(b)).sample() for b in pdf[sketch_col]
+            ]
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
 
 
 def sketch_estimates(

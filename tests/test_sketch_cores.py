@@ -242,3 +242,40 @@ def test_kll_weighted_merge_and_mixed():
 def test_kll_weighted_drops_invalid():
     k = KLL(k=100).add_weighted([1.0, 2.0, np.nan, 3.0], [2, 0, 5, np.nan])
     assert k.n == 2  # only (1.0, w=2) survives
+
+
+# ----------------------------------------------------------------- KMV
+
+def test_kmv_merge_sample_estimate_roundtrip():
+    """Bottom-k invariants: merge-of-parts == single build EXACTLY
+    (min-k of a union is the merge of min-k's), merge is idempotent,
+    the sample IS the k distinct values with the globally smallest
+    hashes (independently recomputed), the estimate is exact below k
+    and within 5x its published RSE (1/sqrt(k-2)) above, and blobs
+    round-trip."""
+    import pandas as pd
+
+    from tdigest_spark.sketch.hashing import hash64
+    from tdigest_spark.sketch.kmv import KMV
+
+    rng = np.random.default_rng(3)
+    vals = [f"v{int(x)}" for x in rng.integers(0, 10_000, 50_000)]
+    single = KMV(256).add(vals)
+    merged = KMV(256).add(vals[0::3]).merge(KMV(256).add(vals[1::3])).merge(
+        KMV(256).add(vals[2::3])
+    )
+    assert np.array_equal(single.hashes, merged.hashes)
+    assert single.values == merged.values
+    assert np.array_equal(single.merge(single).hashes, single.hashes)
+
+    distinct = pd.Series(sorted(set(vals)))
+    order = np.argsort(hash64(distinct))
+    assert single.sample() == [str(distinct.iloc[i]) for i in order[:256]]
+
+    assert KMV(256).add([f"u{i}" for i in range(100)]).estimate() == 100.0
+    n_true = len(distinct)
+    assert abs(single.estimate() - n_true) / n_true < 5 / np.sqrt(254)
+
+    rt = KMV.from_bytes(single.to_bytes())
+    assert rt.k == 256 and rt.values == single.values
+    assert np.array_equal(rt.hashes, single.hashes)

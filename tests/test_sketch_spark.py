@@ -434,3 +434,53 @@ def test_cms_grouped_build_probe_bound(spark):
     for r in rows:
         assert r["est_count"] >= r["exact"], r
         assert r["est_count"] <= r["exact"] + max(1.0, bound), r
+
+
+def test_kmv_sketch_build_and_samples(spark, sf_dir):
+    """KMV through the distributed build: partials and rows strategies
+    produce byte-identical blobs equal to a driver-side core build per
+    group (exact mergeability); kmv_samples returns each group's
+    bottom-k distinct sample; kmv_estimate is exact below k."""
+    import pandas as pd
+
+    from tdigest_spark.operators.sketch_agg import (
+        kmv_samples,
+        sketch_build,
+        sketch_estimates,
+    )
+    from tdigest_spark.sketch.kmv import KMV
+
+    docs = load(spark, sf_dir, "documents")
+    specs = {"s": ("kmv", "text", 32)}
+    a = sketch_build(docs, specs, by=["lang"])
+    b = sketch_build(docs, specs, by=["lang"], strategy="rows")
+    blobs_a = {r["lang"]: bytes(r["s"]) for r in a.collect()}
+    blobs_b = {r["lang"]: bytes(r["s"]) for r in b.collect()}
+    assert blobs_a == blobs_b
+
+    pdf = docs.select("lang", "text").toPandas()
+    for lang, g in pdf.groupby("lang"):
+        want = KMV(32).add(g["text"].dropna().tolist())
+        got = KMV.from_bytes(blobs_a[lang])
+        assert got.values == want.values, lang
+        # the sample surface agrees
+    samples = {r["lang"]: r["sample"] for r in kmv_samples(a, "s").collect()}
+    for lang in blobs_a:
+        assert samples[lang] == KMV.from_bytes(blobs_a[lang]).sample()
+
+    est = {
+        r["lang"]: r["nd"]
+        for r in sketch_estimates(a, {"nd": ("kmv_estimate", "s")}).collect()
+    }
+    exact = pdf.groupby("lang")["text"].nunique()
+    for lang, n in exact.items():
+        if n < 32:
+            assert est[lang] == float(n)
+        else:
+            assert abs(est[lang] - n) / n < 5 / np.sqrt(30)
+
+    # blob re-merge (checkpoint-table rollup path) is idempotent
+    from tdigest_spark.operators.sketch_agg import sketch_merge_agg
+
+    m = sketch_merge_agg(a.unionByName(a), {"s": "kmv"}, by=["lang"])
+    assert {r["lang"]: bytes(r["s"]) for r in m.collect()} == blobs_a
