@@ -1,5 +1,6 @@
 """Distributed aggregation for the companion sketches (HLL / Bloom /
-count-min / KLL) — same partial/final UDAF shape as digest_agg.py:
+count-min / KLL / bottom-k KMV — plus t-digest as the "td" kind for
+scan fusion) — same partial/final UDAF shape as digest_agg.py:
 
   stage 1  ``mapInPandas``  — one sketch per (input partition x group),
            updated vectorized per Arrow batch (never per-row Python).
@@ -33,6 +34,7 @@ from tdigest_spark.sketch.cms import CountMin
 from tdigest_spark.sketch.hll import HLL
 from tdigest_spark.sketch.kll import KLL
 from tdigest_spark.sketch.kmv import KMV
+from tdigest_spark.sketch.tdigest import TDigest
 
 __all__ = [
     "sketch_build",
@@ -65,6 +67,13 @@ class _Kind:
         vals = series.dropna()
         if len(vals):
             obj.add(vals.to_numpy())
+        return obj
+
+    def ship(self, obj):
+        """Hook applied just before serialization (partial yield or
+        merge emit). Identity for the fixed-size sketches; the t-digest
+        kind compresses its lazy buffer here so blobs ship at working
+        delta, not at buffer size."""
         return obj
 
 
@@ -161,6 +170,32 @@ class _KMVKind(_Kind):
         return KMV(k=params[0] if params else 256)
 
 
+class _TDigestKind(_Kind):
+    """t-digest as a kind in the ONE-PASS multi-sketch builder: spec is
+    ``("td", value_col, delta=200)``. The primary digest surface stays
+    :func:`tdigest_agg` (struct wire format, JVM merge engine, stats
+    fusion); this kind exists for SCAN FUSION — rank sketches and
+    companion sketches built in the same pass over the table (at
+    100 TB every extra pass doubles the job; ``jobs/webpages.py``
+    hand-rolled exactly this composition before). Blobs use the
+    compact ``TDigest.to_bytes`` codec; query them with the ``td_*``
+    estimate functions or rebuild via ``TDigest.from_bytes``."""
+
+    name, cast = "td", "double"
+
+    def new(self, params):
+        return TDigest.empty(params[0] if params else 200)
+
+    def update(self, obj, series):
+        vals = series.dropna()
+        if len(vals):
+            obj = obj.add_values(vals.to_numpy())
+        return obj
+
+    def ship(self, obj):
+        return obj.ship_compressed()
+
+
 KINDS: dict[str, _Kind] = {
     k.name: k
     for k in (
@@ -170,6 +205,7 @@ KINDS: dict[str, _Kind] = {
         _KLLKind(),
         _KLLWeightedKind(),
         _KMVKind(),
+        _TDigestKind(),
     )
 }
 _CLS = {
@@ -179,6 +215,7 @@ _CLS = {
     "kll": KLL,
     "kll_w": KLL,
     "kmv": KMV,
+    "td": TDigest,
 }
 
 
@@ -297,7 +334,7 @@ def sketch_build(
                 # a group may have had no non-null rows for one spec
                 # (the grouped path skips them): emit the empty sketch
                 obj = sk.get(name) or KINDS[kind].new(params)
-                data[name].append(obj.to_bytes())
+                data[name].append(KINDS[kind].ship(obj).to_bytes())
         yield pd.DataFrame(data)
 
     if strategy == "rows":
@@ -321,7 +358,7 @@ def sketch_build(
             acc = objs[0]
             for o in objs[1:]:
                 acc = acc.merge(o)
-            out[name] = [acc.to_bytes()]
+            out[name] = [KINDS[kind].ship(acc).to_bytes()]
         return pd.DataFrame(out)
 
     if by:
@@ -384,7 +421,7 @@ def sketch_merge_agg(
         acc = objs[0]
         for o in objs[1:]:
             acc = acc.merge(o)
-        return acc.to_bytes()
+        return KINDS[kind].ship(acc).to_bytes()
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # accumulators hold LIVE sketch objects, serialized once at
@@ -413,7 +450,7 @@ def sketch_merge_agg(
             for c, k in zip(by, key):
                 data[c].append(k)
             for c in cols:
-                data[c].append(sk[c].to_bytes())
+                data[c].append(KINDS[kinds[c]].ship(sk[c]).to_bytes())
         yield pd.DataFrame(data)
 
     if strategy == "rows":
@@ -456,6 +493,10 @@ _EST_FNS = {
     "cms_eps_bound": ("cms", lambda o: o.eps_bound(), T.DoubleType()),
     "bloom_fpp": ("bloom", lambda o: o.expected_fpp(), T.DoubleType()),
     "kmv_estimate": ("kmv", lambda o: o.estimate(), T.DoubleType()),
+    "td_quantile": ("td", lambda o, q: o.quantile(q), T.DoubleType()),
+    "td_cdf": ("td", lambda o, x: o.cdf(x), T.DoubleType()),
+    "td_mean": ("td", lambda o: o.mean(), T.DoubleType()),
+    "td_total_weight": ("td", lambda o: float(o.total_weight), T.DoubleType()),
 }
 
 

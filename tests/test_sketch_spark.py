@@ -484,3 +484,66 @@ def test_kmv_sketch_build_and_samples(spark, sf_dir):
 
     m = sketch_merge_agg(a.unionByName(a), {"s": "kmv"}, by=["lang"])
     assert {r["lang"]: bytes(r["s"]) for r in m.collect()} == blobs_a
+
+
+def test_td_kind_one_pass_with_companions(spark, sf_dir):
+    """t-digest as a sketch kind: ONE pass builds the rank sketch AND
+    companion sketches together (the scan-fusion shape jobs/webpages.py
+    hand-rolls). Lossless mode makes the blob deterministic: partials
+    and rows strategies agree byte-for-byte, the td_quantile estimate
+    equals tdigest_agg's lossless quantile exactly, and re-merging two
+    halves through sketch_merge_agg reproduces the full build."""
+    from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_build,
+        sketch_estimates,
+        sketch_merge_agg,
+    )
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    LL = 1_000_000
+    docs = load(spark, sf_dir, "documents")
+    specs = {"d": ("td", "n_chars", LL), "h": ("hll", "source")}
+    a = sketch_build(docs, specs, by=["lang"])
+    b = sketch_build(docs, specs, by=["lang"], strategy="rows")
+    blobs_a = {r["lang"]: (bytes(r["d"]), bytes(r["h"])) for r in a.collect()}
+    blobs_b = {r["lang"]: (bytes(r["d"]), bytes(r["h"])) for r in b.collect()}
+    assert blobs_a == blobs_b
+
+    # estimate surface == the primary tdigest_agg surface (lossless)
+    est = {
+        r["lang"]: (r["p50"], r["n"])
+        for r in sketch_estimates(
+            a, {"p50": ("td_quantile", "d", 0.5), "n": ("td_total_weight", "d")}
+        ).collect()
+    }
+    want = {
+        r["lang"]: (r["p50"], r["n"])
+        for r in tdigest_stats(
+            tdigest_agg(
+                docs.selectExpr("lang", "CAST(n_chars AS DOUBLE) AS v"),
+                "v",
+                by=["lang"],
+                delta=LL,
+            ),
+            {"p50": ("quantile", 0.5), "n": ("total_weight",)},
+        ).collect()
+    }
+    assert est == want
+
+    # blob re-merge of two halves == full build (lossless determinism)
+    h1 = sketch_build(
+        docs.where(F.col("doc_id") % 2 == 0), specs, by=["lang"]
+    )
+    h2 = sketch_build(
+        docs.where(F.col("doc_id") % 2 == 1), specs, by=["lang"]
+    )
+    m = sketch_merge_agg(
+        h1.unionByName(h2), {"d": "td", "h": "hll"}, by=["lang"]
+    )
+    for r in m.collect():
+        full = TDigest.from_bytes(blobs_a[r["lang"]][0])
+        got = TDigest.from_bytes(bytes(r["d"]))
+        assert np.array_equal(got.means, full.means)
+        assert np.array_equal(got.weights, full.weights)
+        assert bytes(r["h"]) == blobs_a[r["lang"]][1]
