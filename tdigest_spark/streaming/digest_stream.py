@@ -397,9 +397,10 @@ def sketch_sink(
     strategy: str = "partials",
 ):
     """foreachBatch sink for the COMPANION sketches — the
-    HLL / CMS / KLL / Bloom counterpart of :func:`digest_sink`, so
-    every sketch family the north rule names accumulates incrementally
-    and resumably, not just the t-digest. Each micro-batch builds its
+    HLL / CMS / KLL / Bloom (and any other registered kind, incl.
+    "kmv" samples and blob-form "td" digests) counterpart of
+    :func:`digest_sink`, so every sketch family the north rule names
+    accumulates incrementally and resumably, not just the t-digest. Each micro-batch builds its
     sketches in one pass (``sketch_build``; ``specs`` maps output
     column -> ``(kind, value_col, *params)``) and merges them into a
     checkpoint parquet table of binary blobs (``sketch_merge_agg``)
