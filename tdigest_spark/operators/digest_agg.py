@@ -675,6 +675,13 @@ def with_percentile_rank(
     Arrow. Rows whose group has no digest (or a NULL digest) get NULL;
     NULL and NaN group keys are conflated for the lookup (the module's
     pandas-groupby NaN policy).
+
+    Regime bound: the broadcast is O(groups x delta) — ~3 KB/group at
+    delta=200, fine to ~1e5 groups. Beyond that (group cardinality
+    approaching row count) broadcast the ROWS' side instead: repartition
+    both inputs by the keys and use the join + :func:`tdigest_cdf_at`
+    form, which shuffles but never materializes the whole digest table
+    per executor.
     """
     import numpy as np
 
