@@ -33,6 +33,10 @@ _EXPORTS = {
     "tdigest_rollup": ("tdigest_spark.operators.digest_agg", "tdigest_rollup"),
     "tdigest_cube": ("tdigest_spark.operators.digest_agg", "tdigest_cube"),
     "tdigest_describe": ("tdigest_spark.operators.digest_agg", "tdigest_describe"),
+    "digest_drift": ("tdigest_spark.operators.drift", "digest_drift"),
+    "ks_distance": ("tdigest_spark.operators.drift", "ks_distance"),
+    "w1_distance": ("tdigest_spark.operators.drift", "w1_distance"),
+    "psi_score": ("tdigest_spark.operators.drift", "psi_score"),
     "tdigest_sliding": ("tdigest_spark.operators.digest_agg", "tdigest_sliding"),
     "panes_to_sliding": ("tdigest_spark.operators.digest_agg", "panes_to_sliding"),
     # companion sketches
