@@ -58,6 +58,10 @@ _EXPORTS = {
     "approx_topk": ("tdigest_spark.operators.topk", "approx_topk"),
     "bloom_semijoin": ("tdigest_spark.operators.sketch_join", "bloom_semijoin"),
     # LLM-pipeline operators
+    "hash_sample": ("tdigest_spark.operators.sampling", "hash_sample"),
+    "stratified_sample": ("tdigest_spark.operators.sampling", "stratified_sample"),
+    "split_by_hash": ("tdigest_spark.operators.sampling", "split_by_hash"),
+    "sample_k": ("tdigest_spark.operators.sampling", "sample_k"),
     "exact_dedup": ("tdigest_spark.operators.dedup", "exact_dedup"),
     "minhash_dedup_pairs": ("tdigest_spark.operators.dedup", "minhash_dedup_pairs"),
     "connected_components": ("tdigest_spark.operators.dedup", "connected_components"),
