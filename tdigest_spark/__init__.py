@@ -55,6 +55,7 @@ _EXPORTS = {
     "cms_grouped_build": ("tdigest_spark.operators.sketch_agg", "cms_grouped_build"),
     "cms_grouped_probe": ("tdigest_spark.operators.sketch_agg", "cms_grouped_probe"),
     "hll_overlap": ("tdigest_spark.operators.sketch_agg", "hll_overlap"),
+    "kmv_overlap": ("tdigest_spark.operators.sketch_agg", "kmv_overlap"),
     "approx_topk": ("tdigest_spark.operators.topk", "approx_topk"),
     "bloom_semijoin": ("tdigest_spark.operators.sketch_join", "bloom_semijoin"),
     # LLM-pipeline operators

@@ -95,6 +95,27 @@ class KMV:
         random order with respect to the data)."""
         return list(self.values)
 
+    def overlap(self, other: "KMV") -> tuple[float, float, float] | None:
+        """(jaccard, intersection_est, union_est) against another KMV
+        of the same k — the Beyer et al. 2007 multiset algebra: the k
+        smallest hashes of the union, L, are a uniform sample of the
+        union domain, so the fraction of L present in BOTH sketches is
+        an unbiased Jaccard estimate; intersection = jaccard x union.
+        EXACT whenever the union has fewer than k distinct hashes
+        (both sketches then hold their full domains). None if both
+        sides are empty (Jaccard undefined); (0, 0, est) if one is.
+        """
+        if other.k != self.k:
+            raise ValueError(f"KMV k mismatch: {self.k} vs {other.k}")
+        if len(self.hashes) == 0 and len(other.hashes) == 0:
+            return None
+        union = self.merge(other)
+        u_est = union.estimate()
+        ell = union.hashes  # the k smallest union hashes
+        both = np.isin(ell, self.hashes) & np.isin(ell, other.hashes)
+        rho = float(both.sum()) / len(ell)
+        return rho, rho * u_est, u_est
+
     # ---------------------------------------------------------- (de)ser
 
     def to_bytes(self) -> bytes:

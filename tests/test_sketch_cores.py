@@ -279,3 +279,40 @@ def test_kmv_merge_sample_estimate_roundtrip():
     rt = KMV.from_bytes(single.to_bytes())
     assert rt.k == 256 and rt.values == single.values
     assert np.array_equal(rt.hashes, single.hashes)
+
+
+def test_kmv_overlap_exact_and_estimated():
+    """Set algebra (Beyer et al. 2007): exact Jaccard/intersection/
+    union below k; within 5x the binomial RSE sqrt(j(1-j)/k) above;
+    0 for disjoint sets; None when both empty; k mismatch raises."""
+    from tdigest_spark.sketch.kmv import KMV
+
+    # exact regime: union (150 distinct) < k=256
+    a = KMV(256).add([f"x{i}" for i in range(100)])
+    b = KMV(256).add([f"x{i}" for i in range(50, 150)])
+    j, inter, union = a.overlap(b)
+    assert j == 50 / 150 and inter == 50.0 and union == 150.0
+
+    # estimation regime: |A|=20k, |B|=20k, overlap 10k -> J = 1/3
+    big_a = KMV(512).add([f"y{i}" for i in range(20_000)])
+    big_b = KMV(512).add([f"y{i}" for i in range(10_000, 30_000)])
+    j, inter, union = big_a.overlap(big_b)
+    rse = np.sqrt((1 / 3) * (2 / 3) / 512)
+    assert abs(j - 1 / 3) < 5 * rse
+    assert abs(union - 30_000) / 30_000 < 5 / np.sqrt(510)
+    assert abs(inter - 10_000) / 10_000 < 5 * (rse / (1 / 3) + 1 / np.sqrt(510))
+
+    # disjoint
+    c = KMV(256).add([f"z{i}" for i in range(100)])
+    j, inter, _ = a.overlap(c)
+    assert j == 0.0 and inter == 0.0
+
+    # empties
+    assert KMV(256).overlap(KMV(256)) is None
+    j, inter, union = a.overlap(KMV(256))
+    assert j == 0.0 and inter == 0.0 and union == 100.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k mismatch"):
+        a.overlap(KMV(128))

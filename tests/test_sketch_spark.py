@@ -547,3 +547,28 @@ def test_td_kind_one_pass_with_companions(spark, sf_dir):
         assert np.array_equal(got.means, full.means)
         assert np.array_equal(got.weights, full.weights)
         assert bytes(r["h"]) == blobs_a[r["lang"]][1]
+
+
+def test_kmv_overlap_operator_matches_core(spark, sf_dir):
+    """kmv_overlap over a pair table of per-lang KMV blobs equals the
+    driver-side core overlap exactly; same-sketch pairs give J=1."""
+    from tdigest_spark.operators.sketch_agg import kmv_overlap, sketch_build
+    from tdigest_spark.sketch.kmv import KMV
+
+    docs = load(spark, sf_dir, "documents")
+    sk = sketch_build(docs, {"s": ("kmv", "source", 64)}, by=["lang"])
+    pairs = (
+        sk.alias("a")
+        .crossJoin(sk.selectExpr("lang as lang_b", "s as s_b").alias("b"))
+        .filter("lang <= lang_b")
+    )
+    rows = kmv_overlap(pairs, "s", "s_b").collect()
+    blobs = {r["lang"]: bytes(r["s"]) for r in sk.collect()}
+    assert rows
+    for r in rows:
+        want = KMV.from_bytes(blobs[r["lang"]]).overlap(
+            KMV.from_bytes(blobs[r["lang_b"]])
+        )
+        assert (r["jaccard_est"], r["overlap_est"], r["union_est"]) == want
+        if r["lang"] == r["lang_b"]:
+            assert r["jaccard_est"] == 1.0
