@@ -358,11 +358,42 @@ def run_scaling(
     # ratio x the free cores, so a tenant-load spike deflates ONLY the
     # measured efficiency, never inflates it — if a round lands below
     # target, re-run the whole interleaved capture (bounded) and keep
-    # the best round, with every round's figure in the artifact
+    # the best round, with every round's figure in the artifact.
+    # Contention windows on this host last minutes (a whole 3-round
+    # back-to-back retry block can land inside one), so each round
+    # first WAITS (bounded) for the 1-minute load average to drop
+    # below a threshold; the observed load per round is recorded.
+    # Arrow-pipe floor control: a pass-through mapInPandas (ZERO sketch
+    # work) over the same rows. Under tenant load the JVM->Python Arrow
+    # transfer on this host collapses to a task-count-INDEPENDENT
+    # throughput floor (~6 s for 32M rows measured at load>3, vs 1.2 s
+    # scaling at 0.9+ efficiency when quiet) — when sec_hi of the e2e
+    # leg ~= the floor, the e2e figure measures the host's IPC floor,
+    # not the engine; the artifact carries both so that is checkable.
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    _n_schema = _T.StructType([_T.StructField("n", _T.LongType())])
+
+    def _passthrough(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield _pd.DataFrame({"n": [n]})
+
+    def _floor(parts):
+        t0 = time.perf_counter()
+        vals(parts).mapInPandas(_passthrough, _n_schema).count()
+        return round(time.perf_counter() - t0, 3)
+
     e2e_rounds = []
+    e2e_loads = []
+    floor_hi = []
     best_eff = -1.0
     s_lo = s_hi = None
-    for _ in range(3):
+    for rnd in range(3):
+        e2e_loads.append(_wait_for_quiet(max_wait=0 if rnd == 0 else 120))
+        floor_hi.append(_floor(hi_tasks))
         t_lo, t_hi = [], []
         for _ in range(trials):
             t0 = time.perf_counter()
@@ -400,9 +431,36 @@ def run_scaling(
         # figure; a real N vs 4N executor run shards both.
         "efficiency_e2e_shared_jvm": round((s_lo / s_hi) / ratio, 3),
         "e2e_rounds": e2e_rounds,
+        "e2e_load_avg_per_round": e2e_loads,
+        # pass-through (no sketch work) time at hi tasks per round: the
+        # Arrow-transfer floor. e2e sec_hi ~= this floor means the e2e
+        # capture is IPC-floor-bound (host contention), not engine-bound
+        "arrow_floor_sec_hi_per_round": floor_hi,
         "efficiency_process_parallel": kernel["efficiency"],
         "kernel": kernel,
     }
+
+
+def _wait_for_quiet(max_wait: int = 90, threshold: float = 2.0) -> float:
+    """Bounded wait for the 1-minute load average to fall below
+    ``threshold`` (this process is mostly idle between legs, so the
+    load reflects OTHER tenants). Returns the load observed when the
+    wait ends — recorded in the artifact either way, so a capture taken
+    under residual load is visible, never hidden."""
+    waited = 0
+    while waited < max_wait:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            return -1.0
+        if load < threshold:
+            return round(load, 2)
+        time.sleep(10)
+        waited += 10
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
 
 
 def _kernel_work(n_iters: int) -> float:
@@ -444,7 +502,9 @@ def kernel_scaling(
     ratio = hi_procs / lo_procs
     rounds = []
     best = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        if rnd:  # a retry means the last round was contended — wait it out
+            _wait_for_quiet(max_wait=60)
         ctx = mp.get_context("spawn")
         with ctx.Pool(lo_procs) as p_lo, ctx.Pool(hi_procs) as p_hi:
             p_lo.map(_kernel_work, [2] * lo_procs)  # warm the workers

@@ -1,0 +1,143 @@
+"""Frequent-directions matrix sketch: a mergeable low-rank summary of
+a tall matrix of embedding rows.
+
+Published algorithm: Liberty 2013 (KDD, "Simple and deterministic
+matrix sketching") with the Ghashami–Liberty–Phillips–Woodruff 2016
+analysis. State is an ``ell x d`` row buffer ``B``; when full, one SVD
+shrinks the spectrum by the ell/2-th singular value squared and keeps
+the non-zero rows, freeing half the buffer. Covariance guarantee::
+
+    0 <= x^T (A^T A - B^T B) x <= 2 ||A||_F^2 / ell      (unit x)
+
+i.e. ``B^T B`` underestimates the true Gram matrix by at most
+``2/ell`` of the total mass IN EVERY DIRECTION — the matrix analog of
+Misra–Gries (which it degenerates to on one-hot rows). Merging two
+sketches = appending their rows and shrinking once more; the bound
+composes additively over the merge tree, so the partial/merge UDAF
+shape the scalar sketches use applies unchanged.
+
+Why the engine wants it: the principal directions / spectral mass of
+a 100-TB embedding corpus (PCA for whitening, drift of the dominant
+subspace between crawls, intrinsic-dimension checks) in ONE pass,
+shipping O(ell x d) floats per partition instead of gathering the
+O(n x d) matrix — and without the numerical hazard of summing raw
+Gram matrices (B^T B is PSD by construction).
+
+Error tracking: ``shrink_total`` accumulates the exact spectral mass
+removed by shrinkage — ``||A||_F^2 - ||B||_F^2`` — giving a per-sketch
+POSTERIORI bound on the Gram deficit that is usually far tighter than
+the worst-case ``2||A||_F^2/ell``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["FrequentDirections"]
+
+
+class FrequentDirections:
+    __slots__ = ("ell", "d", "rows", "n_rows", "frob_sq", "shrink_total")
+
+    def __init__(self, ell: int, d: int):
+        if ell < 2:
+            raise ValueError("FrequentDirections needs ell >= 2")
+        self.ell = int(ell)
+        self.d = int(d)
+        self.rows = np.zeros((0, d), dtype=np.float64)  # current B (<= ell rows)
+        self.n_rows = 0          # rows of A absorbed
+        self.frob_sq = 0.0       # ||A||_F^2 (exact running total)
+        self.shrink_total = 0.0  # spectral mass removed so far
+
+    # ------------------------------------------------------------ build
+
+    def add(self, batch: np.ndarray) -> "FrequentDirections":
+        """Absorb a batch of rows (n x d). NaN rows are dropped (the
+        engine-wide NaN policy)."""
+        a = np.asarray(batch, dtype=np.float64)
+        if a.ndim == 1:
+            a = a[None, :]
+        if a.shape[1] != self.d:
+            raise ValueError(f"dim mismatch: sketch d={self.d}, batch d={a.shape[1]}")
+        a = a[~np.isnan(a).any(axis=1)]
+        if not len(a):
+            return self
+        self.n_rows += len(a)
+        self.frob_sq += float((a * a).sum())
+        self.rows = np.vstack((self.rows, a))
+        if len(self.rows) >= self.ell:
+            self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        """One FD step: SVD, subtract sigma_{ell/2}^2 from the squared
+        spectrum, rebuild B from the surviving directions."""
+        _, s, vt = np.linalg.svd(self.rows, full_matrices=False)
+        half = self.ell // 2
+        if len(s) <= half:
+            return
+        delta = float(s[half] ** 2)
+        s_sq = np.maximum(s**2 - delta, 0.0)
+        keep = s_sq > 0.0
+        self.shrink_total += float((s**2 - s_sq).sum())  # sum of min(s_i^2, delta)
+        self.rows = np.sqrt(s_sq[keep])[:, None] * vt[keep]
+
+    # ------------------------------------------------------------ merge
+
+    def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        if (other.ell, other.d) != (self.ell, self.d):
+            raise ValueError(
+                f"FD shape mismatch: (ell={self.ell}, d={self.d}) vs "
+                f"(ell={other.ell}, d={other.d})"
+            )
+        out = FrequentDirections(self.ell, self.d)
+        out.n_rows = self.n_rows + other.n_rows
+        out.frob_sq = self.frob_sq + other.frob_sq
+        out.shrink_total = self.shrink_total + other.shrink_total
+        out.rows = np.vstack((self.rows, other.rows))
+        if len(out.rows) >= out.ell:
+            out._shrink()
+        return out
+
+    # ------------------------------------------------------------ query
+
+    def gram(self) -> np.ndarray:
+        """``B^T B`` — the PSD covariance estimate (uncentered)."""
+        return self.rows.T @ self.rows
+
+    def spectrum(self) -> tuple[np.ndarray, np.ndarray]:
+        """(singular values of B, right singular vectors as rows) —
+        the estimated principal directions, strongest first."""
+        _, s, vt = np.linalg.svd(self.rows, full_matrices=False)
+        return s, vt
+
+    def error_bound(self) -> float:
+        """A-posteriori uniform bound on the Gram deficit:
+        ``sup_x x^T(A^T A - B^T B)x <= shrink_total`` (exact mass
+        removed; always <= the worst-case ``2 frob_sq / ell``)."""
+        return self.shrink_total
+
+    # ---------------------------------------------------------- (de)ser
+
+    def to_bytes(self) -> bytes:
+        r = np.ascontiguousarray(self.rows, dtype=np.float64)
+        return (
+            struct.pack("<IIIqdd", self.ell, self.d, r.shape[0], self.n_rows,
+                        self.frob_sq, self.shrink_total)
+            + r.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "FrequentDirections":
+        ell, d, m, n_rows, frob_sq, shrink_total = struct.unpack_from("<IIIqdd", b, 0)
+        out = cls(ell, d)
+        out.n_rows = int(n_rows)
+        out.frob_sq = float(frob_sq)
+        out.shrink_total = float(shrink_total)
+        off = struct.calcsize("<IIIqdd")
+        out.rows = (
+            np.frombuffer(b, dtype=np.float64, offset=off).reshape(m, d).copy()
+        )
+        return out
