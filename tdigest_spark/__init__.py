@@ -45,6 +45,11 @@ _EXPORTS = {
     "KLL": ("tdigest_spark.sketch.kll", "KLL"),
     "BloomFilter": ("tdigest_spark.sketch.bloom", "BloomFilter"),
     "KMV": ("tdigest_spark.sketch.kmv", "KMV"),
+    "FrequentDirections": ("tdigest_spark.sketch.fd", "FrequentDirections"),
+    "fd_agg": ("tdigest_spark.operators.fd_agg", "fd_agg"),
+    "fd_merge_agg": ("tdigest_spark.operators.fd_agg", "fd_merge_agg"),
+    "fd_stats": ("tdigest_spark.operators.fd_agg", "fd_stats"),
+    "fd_project": ("tdigest_spark.operators.fd_agg", "fd_project"),
     "kmv_samples": ("tdigest_spark.operators.sketch_agg", "kmv_samples"),
     "sketch_build": ("tdigest_spark.operators.sketch_agg", "sketch_build"),
     "sketch_merge_agg": ("tdigest_spark.operators.sketch_agg", "sketch_merge_agg"),

@@ -1,0 +1,202 @@
+"""Distributed frequent-directions sketch over an embedding column.
+
+The matrix sibling of ``tdigest_agg``: one pass over ``array<float>``
+rows builds a mergeable ``ell x d`` spectral summary per group
+(:class:`~tdigest_spark.sketch.fd.FrequentDirections` — Liberty 2013),
+via the engine's standard shape: partition-local partials (Arrow
+batches stacked into one numpy matmul-friendly block each) -> shuffle
+of O(partitions x groups) blobs of ``ell x d`` doubles -> associative
+merge. The raw embedding matrix (n x d — the thing that does NOT fit
+anywhere at 100 TB) is never shuffled, collected, or materialized.
+
+What it answers downstream: principal directions / spectral mass of
+the corpus (PCA whitening for the IVF index, subspace drift between
+crawls via :func:`fd_stats` on two snapshots, low-intrinsic-dimension
+checks), each from a blob thousands of times smaller than the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..sketch.fd import FrequentDirections
+
+__all__ = ["fd_agg", "fd_merge_agg", "fd_stats", "fd_project"]
+
+
+def _batch_matrix(series: pd.Series) -> np.ndarray | None:
+    """Stack an Arrow list column into one (n x d) float64 block,
+    dropping NULL vectors. None if the batch has no usable rows."""
+    vs = [v for v in series if v is not None and len(v)]
+    if not vs:
+        return None
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+
+
+def fd_agg(
+    df: DataFrame,
+    vec_col: str,
+    ell: int,
+    by: Sequence[str] = (),
+    blob_col: str = "fd",
+) -> DataFrame:
+    """One frequent-directions blob per group over ``vec_col``
+    (``array<float|double>``). The dimension is taken from the data;
+    mixed dimensions raise (in the worker, surfacing the bad shard).
+    Covariance guarantee per blob: the Gram deficit is PSD and at most
+    ``shrink_total`` (a-posteriori, carried in the blob) — worst case
+    ``2 ||A||_F^2 / ell``. Merge order does not affect the bound."""
+    by = list(by)
+    src = df.select(*by, vec_col)
+    out_schema = T.StructType(
+        [src.schema[c] for c in by] + [T.StructField(blob_col, T.BinaryType(), True)]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, FrequentDirections] = {}
+        for pdf in batches:
+            groups = pdf.groupby(by, sort=False, dropna=False) if by else [((), pdf)]
+            for key, g in groups:
+                key = key if isinstance(key, tuple) else (key,)
+                mat = _batch_matrix(g[vec_col])
+                if mat is None:
+                    continue
+                acc = accs.get(key)
+                if acc is None:
+                    acc = accs[key] = FrequentDirections(ell, mat.shape[1])
+                acc.add(mat)
+        if not accs:
+            return
+        data: dict[str, list] = {c: [] for c in by}
+        data[blob_col] = []
+        for key, acc in accs.items():
+            for c, k in zip(by, key):
+                data[c].append(k)
+            data[blob_col].append(acc.to_bytes())
+        yield pd.DataFrame(data)
+
+    partials = src.mapInPandas(build, out_schema)
+    return fd_merge_agg(partials, blob_col=blob_col, by=by, _schema=out_schema)
+
+
+def fd_merge_agg(
+    df: DataFrame,
+    blob_col: str = "fd",
+    by: Sequence[str] = (),
+    _schema: T.StructType | None = None,
+) -> DataFrame:
+    """Merge existing FD blob columns per group (rollups over
+    checkpointed sketch tables — same role as ``sketch_merge_agg``)."""
+    by = list(by)
+    out_schema = _schema or T.StructType(
+        [df.schema[c] for c in by] + [T.StructField(blob_col, T.BinaryType(), True)]
+    )
+
+    def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf[blob_col]:
+            obj = FrequentDirections.from_bytes(bytes(b))
+            acc = obj if acc is None else acc.merge(obj)
+        out = {c: [pdf[c].iloc[0]] for c in by}
+        out[blob_col] = [acc.to_bytes()]
+        return pd.DataFrame(out)
+
+    if by:
+        return df.groupBy(*by).applyInPandas(merge_pdf, out_schema)
+
+    def merge_global(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            yield merge_pdf(pd.concat(chunks, ignore_index=True))
+
+    from .sketch_agg import _global_reduce
+
+    return _global_reduce(df, merge_global, out_schema)
+
+
+def fd_stats(
+    df: DataFrame, blob_col: str = "fd", top_k: int = 8
+) -> DataFrame:
+    """Spectral summary per FD blob: row count, total spectral mass
+    (``frob_sq = ||A||_F^2``, exact), the a-posteriori Gram-deficit
+    bound (``err_bound = shrink_total``), the worst-case bound
+    ``2 frob_sq / ell``, and the top-``top_k`` singular values of the
+    sketch (lower bounds on A's; the deficit bounds the gap)."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("frob_sq", T.DoubleType(), True),
+            T.StructField("err_bound", T.DoubleType(), True),
+            T.StructField("worst_case_bound", T.DoubleType(), True),
+            T.StructField("singular_values", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            n, fr, eb, wc, sv = [], [], [], [], []
+            for b in pdf[blob_col]:
+                o = FrequentDirections.from_bytes(bytes(b))
+                s, _ = o.spectrum()
+                n.append(o.n_rows)
+                fr.append(o.frob_sq)
+                eb.append(o.error_bound())
+                wc.append(2.0 * o.frob_sq / o.ell)
+                sv.append([float(x) for x in s[:top_k]])
+            out["n_rows"] = pd.array(n, dtype="int64")
+            out["frob_sq"] = pd.array(fr, dtype="float64")
+            out["err_bound"] = pd.array(eb, dtype="float64")
+            out["worst_case_bound"] = pd.array(wc, dtype="float64")
+            out["singular_values"] = sv
+            yield out
+
+    return df.mapInPandas(evaluate, out_schema)
+
+
+def fd_project(
+    df: DataFrame,
+    vec_col: str,
+    components: np.ndarray,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project every embedding onto ``components`` (a k x d array —
+    e.g. the top rows of :meth:`FrequentDirections.spectrum`): the
+    dimensionality-reduction step feeding the IVF index or a 2-D map.
+    The k x d matrix ships once in the serialized closure (O(k·d)
+    bytes); rows are projected in place per Arrow batch — one matmul
+    per batch, no shuffle, no join."""
+    comp = np.ascontiguousarray(components, dtype=np.float64)
+    if comp.ndim != 2:
+        raise ValueError(f"components must be 2-D (k x d), got shape {comp.shape}")
+    keep = list(df.columns)
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()), True)]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            res: list = []
+            vals = pdf[vec_col]
+            ok = vals.notna()
+            if ok.any():
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in vals[ok]]
+                )
+                proj = mat @ comp.T
+                it = iter(proj)
+                res = [list(next(it)) if m else None for m in ok]
+            else:
+                res = [None] * len(pdf)
+            out[out_col] = res
+            yield out
+
+    return df.mapInPandas(project, out_schema)

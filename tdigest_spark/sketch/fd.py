@@ -23,10 +23,12 @@ shipping O(ell x d) floats per partition instead of gathering the
 O(n x d) matrix — and without the numerical hazard of summing raw
 Gram matrices (B^T B is PSD by construction).
 
-Error tracking: ``shrink_total`` accumulates the exact spectral mass
-removed by shrinkage — ``||A||_F^2 - ||B||_F^2`` — giving a per-sketch
-POSTERIORI bound on the Gram deficit that is usually far tighter than
-the worst-case ``2||A||_F^2/ell``.
+Error tracking: ``shrink_total`` accumulates the per-step shrink
+thresholds ``sum(delta_t)`` — each step maps the Gram ``G -> G'`` with
+``G - G' ⪯ delta_t * I``, so the total Gram deficit is ⪯
+``shrink_total * I`` — an A-POSTERIORI bound, usually far tighter than
+the worst-case ``2||A||_F^2/ell`` (which follows because each step
+removes at least ``(ell/2) * delta_t`` of Frobenius mass).
 """
 
 from __future__ import annotations
@@ -81,7 +83,12 @@ class FrequentDirections:
         delta = float(s[half] ** 2)
         s_sq = np.maximum(s**2 - delta, 0.0)
         keep = s_sq > 0.0
-        self.shrink_total += float((s**2 - s_sq).sum())  # sum of min(s_i^2, delta)
+        # the deficit bound grows by delta per step: the step maps the
+        # Gram G -> G' with G - G' ⪯ delta * I (every squared singular
+        # value drops by at most delta). The REMOVED Frobenius mass is
+        # >= (ell/2) * delta, which is what forces
+        # sum(delta_t) <= 2 ||A||_F^2 / ell.
+        self.shrink_total += delta
         self.rows = np.sqrt(s_sq[keep])[:, None] * vt[keep]
 
     # ------------------------------------------------------------ merge
@@ -115,8 +122,9 @@ class FrequentDirections:
 
     def error_bound(self) -> float:
         """A-posteriori uniform bound on the Gram deficit:
-        ``sup_x x^T(A^T A - B^T B)x <= shrink_total`` (exact mass
-        removed; always <= the worst-case ``2 frob_sq / ell``)."""
+        ``sup_x x^T(A^T A - B^T B)x <= shrink_total`` (the summed
+        per-step shrink thresholds; always <= the worst-case
+        ``2 frob_sq / ell``)."""
         return self.shrink_total
 
     # ---------------------------------------------------------- (de)ser
