@@ -50,6 +50,7 @@ _EXPORTS = {
     "fd_merge_agg": ("tdigest_spark.operators.fd_agg", "fd_merge_agg"),
     "fd_stats": ("tdigest_spark.operators.fd_agg", "fd_stats"),
     "fd_project": ("tdigest_spark.operators.fd_agg", "fd_project"),
+    "fd_subspace_drift": ("tdigest_spark.operators.fd_agg", "fd_subspace_drift"),
     "kmv_samples": ("tdigest_spark.operators.sketch_agg", "kmv_samples"),
     "sketch_build": ("tdigest_spark.operators.sketch_agg", "sketch_build"),
     "sketch_merge_agg": ("tdigest_spark.operators.sketch_agg", "sketch_merge_agg"),

@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..sketch.fd import FrequentDirections
 
-__all__ = ["fd_agg", "fd_merge_agg", "fd_stats", "fd_project"]
+__all__ = [
+    "fd_agg",
+    "fd_merge_agg",
+    "fd_stats",
+    "fd_project",
+    "subspace_overlap",
+    "fd_subspace_drift",
+]
 
 
 def _batch_matrix(series: pd.Series) -> np.ndarray | None:
@@ -158,6 +165,85 @@ def fd_stats(
             yield out
 
     return df.mapInPandas(evaluate, out_schema)
+
+
+def subspace_overlap(
+    a: FrequentDirections, b: FrequentDirections, k: int
+) -> tuple[float, float] | None:
+    """(overlap, max_principal_angle) between the top-``k`` principal
+    subspaces of two FD sketches — the embedding-space drift metric.
+
+    With Va, Vb the orthonormal top-k right singular vectors, the
+    singular values of ``Va @ Vb.T`` are the cosines of the principal
+    angles (Bjorck–Golub 1973); ``overlap = ||Va Vb^T||_F^2 / k`` is 1
+    for identical subspaces and E[k/d]-ish for random ones, and the
+    max principal angle (radians) is the worst-aligned direction.
+    None if either sketch holds fewer than k directions."""
+    if (a.ell, a.d) != (b.ell, b.d):
+        raise ValueError("FD shape mismatch")
+    _, va = a.spectrum()
+    _, vb = b.spectrum()
+    if len(va) < k or len(vb) < k:
+        return None
+    cos = np.linalg.svd(va[:k] @ vb[:k].T, compute_uv=False)
+    overlap = float((cos**2).sum() / k)
+    angle = float(np.arccos(np.clip(cos.min(), -1.0, 1.0)))
+    return overlap, angle
+
+
+def fd_subspace_drift(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    by: Sequence[str] = (),
+    blob_col: str = "fd",
+    how: str = "inner",
+) -> DataFrame:
+    """Per-group subspace drift between two FD blob tables (reference
+    ``a`` vs candidate ``b``) — "did the dominant directions of this
+    crawl's embedding space move?". Same plan shape as
+    :func:`~tdigest_spark.operators.drift.digest_drift`: both sides
+    are O(groups) blob tables, ``b`` broadcasts, metrics run in one
+    Arrow pass. Outputs ``subspace_overlap`` (1 = identical top-k
+    subspace) and ``max_principal_angle`` (radians), NULL where a side
+    is absent (``how="full"``/"left" keeps one-sided groups) or holds
+    fewer than k directions."""
+    by = list(by)
+    da, db = "__fd_a", "__fd_b"
+    left = a.select(*by, F.col(blob_col).alias(da))
+    right = b.select(*by, F.col(blob_col).alias(db))
+    joined = (
+        left.join(F.broadcast(right), on=by, how=how)
+        if by
+        else left.crossJoin(F.broadcast(right))
+    )
+    out_schema = T.StructType(
+        [joined.schema[c] for c in by]
+        + [
+            T.StructField("subspace_overlap", T.DoubleType(), True),
+            T.StructField("max_principal_angle", T.DoubleType(), True),
+        ]
+    )
+
+    def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[by].copy() if by else pd.DataFrame(index=pdf.index)
+            ov, ang = [], []
+            for ba, bb in zip(pdf[da], pdf[db]):
+                res = None
+                if ba is not None and bb is not None:
+                    res = subspace_overlap(
+                        FrequentDirections.from_bytes(bytes(ba)),
+                        FrequentDirections.from_bytes(bytes(bb)),
+                        k,
+                    )
+                ov.append(None if res is None else res[0])
+                ang.append(None if res is None else res[1])
+            out["subspace_overlap"] = pd.array(ov, dtype="float64")
+            out["max_principal_angle"] = pd.array(ang, dtype="float64")
+            yield out
+
+    return joined.mapInPandas(evaluate, out_schema)
 
 
 def fd_project(

@@ -146,3 +146,51 @@ def test_fd_project_matches_numpy(spark, sf_dir):
         assert got[row["vec_id"]] == pytest.approx(list(want), abs=1e-9)
     with pytest.raises(ValueError, match="2-D"):
         fd_project(emb, "embedding", np.zeros(3))
+
+
+def test_subspace_overlap_identical_orthogonal_rotated():
+    from tdigest_spark.operators.fd_agg import subspace_overlap
+
+    rng = np.random.default_rng(17)
+    d = 16
+    # data concentrated on axes 0..2 vs axes 3..5: disjoint subspaces
+    A = rng.normal(size=(2000, 3)) @ np.eye(3, d, 0) + 0.01 * rng.normal(size=(2000, d))
+    B = rng.normal(size=(2000, 3)) @ np.eye(3, d, 3) + 0.01 * rng.normal(size=(2000, d))
+    fa = FrequentDirections(12, d).add(A)
+    fb = FrequentDirections(12, d).add(B)
+    ov, ang = subspace_overlap(fa, fa, 3)
+    assert ov == pytest.approx(1.0, abs=1e-9) and ang == pytest.approx(0.0, abs=1e-6)
+    ov, ang = subspace_overlap(fa, fb, 3)
+    assert ov < 0.05 and ang > 1.5  # near-orthogonal: angle ~ pi/2
+
+    # same distribution, different sample: high overlap
+    A2 = rng.normal(size=(2000, 3)) @ np.eye(3, d, 0) + 0.01 * rng.normal(size=(2000, d))
+    fa2 = FrequentDirections(12, d).add(A2)
+    ov, ang = subspace_overlap(fa, fa2, 3)
+    assert ov > 0.95 and ang < 0.3
+
+    assert subspace_overlap(fa, fb, 12) is None  # < k directions kept
+    with pytest.raises(ValueError, match="shape mismatch"):
+        subspace_overlap(fa, FrequentDirections(12, 8), 2)
+
+
+def test_fd_subspace_drift_operator(spark, sf_dir):
+    from tdigest_spark.operators.fd_agg import fd_subspace_drift, subspace_overlap
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = fd_agg(emb.filter("vec_id % 2 = 0"), "embedding", 32, by=["label"])
+    b = fd_agg(emb.filter("vec_id % 2 = 1"), "embedding", 32, by=["label"])
+    rows = fd_subspace_drift(a, b, k=3, by=["label"]).collect()
+    ba = {r["label"]: bytes(r["fd"]) for r in a.collect()}
+    bb = {r["label"]: bytes(r["fd"]) for r in b.collect()}
+    assert rows
+    for r in rows:
+        want = subspace_overlap(
+            FrequentDirections.from_bytes(ba[r["label"]]),
+            FrequentDirections.from_bytes(bb[r["label"]]),
+            3,
+        )
+        assert (r["subspace_overlap"], r["max_principal_angle"]) == pytest.approx(want)
+    # self-drift: identical subspace
+    self_rows = fd_subspace_drift(a, a, k=3, by=["label"]).collect()
+    assert all(r["subspace_overlap"] == pytest.approx(1.0) for r in self_rows)
