@@ -49,6 +49,11 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     Companion sketches (binary blob column): ``kll_quantile(b, q)``,
     ``hll_estimate(b)``, ``cms_count(b, key)``, ``bloom_contains(b, key)``.
+
+    Drift metrics over TWO digest struct columns (e.g. after joining a
+    current and a reference digest view): ``tdigest_ks(a, b)``,
+    ``tdigest_w1(a, b)``, ``tdigest_psi(a, b)`` (10 equal-mass bins of
+    the first argument).
     """
 
     @pandas_udf(T.DoubleType())
@@ -119,6 +124,24 @@ def register_sql_functions(spark: SparkSession) -> None:
             out.append(bool(BloomFilter.from_bytes(bytes(r)).might_contain([str(k)])[0]))
         return pd.Series(out, dtype="bool")
 
+    # drift metrics over two digest struct columns (joined views):
+    #   SELECT tdigest_ks(a.digest, b.digest) FROM cur a JOIN prev b USING (lang)
+    from tdigest_spark.operators.drift import ks_distance, psi_score, w1_distance
+
+    def _drift_udf(fn):
+        @pandas_udf(T.DoubleType())
+        def udf(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:
+            return pd.Series(
+                [fn(x, y) for x, y in zip(_digests(a), _digests(b))],
+                dtype="float64",
+            )
+
+        return udf
+
+    tdigest_ks = _drift_udf(ks_distance)
+    tdigest_w1 = _drift_udf(w1_distance)
+    tdigest_psi = _drift_udf(psi_score)
+
     for name, fn in (
         ("tdigest_quantile", tdigest_quantile),
         ("tdigest_cdf", tdigest_cdf),
@@ -131,5 +154,8 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("hll_estimate", hll_estimate),
         ("cms_count", cms_count),
         ("bloom_contains", bloom_contains),
+        ("tdigest_ks", tdigest_ks),
+        ("tdigest_w1", tdigest_w1),
+        ("tdigest_psi", tdigest_psi),
     ):
         spark.udf.register(name, fn)

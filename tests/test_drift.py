@@ -156,3 +156,31 @@ def test_digest_drift_global_and_bad_metric(spark, sf_dir):
     assert len(row) == 1 and row[0]["ks"] is not None
     with pytest.raises(ValueError, match="unknown drift metric"):
         digest_drift(a, b, metrics=("ks", "nope"))
+
+
+def test_drift_sql_surface(spark, sf_dir):
+    """tdigest_ks/w1/psi as registered SQL functions over joined
+    digest views equal the pure core functions."""
+    from tdigest_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = tdigest_agg(events.filter("event_id % 2 = 0"), "value", by=["event_type"], delta=100)
+    b = tdigest_agg(events.filter("event_id % 2 = 1"), "value", by=["event_type"], delta=100)
+    a.createOrReplaceTempView("drift_a")
+    b.createOrReplaceTempView("drift_b")
+    rows = spark.sql(
+        """SELECT a.event_type,
+                  tdigest_ks(a.digest, b.digest) AS ks,
+                  tdigest_w1(a.digest, b.digest) AS w1,
+                  tdigest_psi(a.digest, b.digest) AS psi
+           FROM drift_a a JOIN drift_b b USING (event_type)"""
+    ).collect()
+    da = {r["event_type"]: TDigest.from_row(r["digest"]) for r in a.collect()}
+    db = {r["event_type"]: TDigest.from_row(r["digest"]) for r in b.collect()}
+    assert rows
+    for r in rows:
+        k = r["event_type"]
+        assert r["ks"] == pytest.approx(ks_distance(da[k], db[k]), abs=1e-12)
+        assert r["w1"] == pytest.approx(w1_distance(da[k], db[k]), abs=1e-9)
+        assert r["psi"] == pytest.approx(psi_score(da[k], db[k]), abs=1e-9)
