@@ -91,6 +91,7 @@ _EXPORTS = {
         "tdigest_spark.streaming.topk_stream",
         "stateful_topk_stream",
     ),
+    "drift_monitor": ("tdigest_spark.streaming.drift_stream", "drift_monitor"),
     "streaming_bloom_dedup": (
         "tdigest_spark.streaming.dedup_stream",
         "streaming_bloom_dedup",

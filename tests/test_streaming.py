@@ -564,3 +564,84 @@ def test_streaming_sliding_via_panes(spark, sf_dir, timed_stream_dir, tmp_path):
         n, p50 = g[(r["window_start"], r["event_type"])]
         assert n == int(r["n"])
         assert p50 == pytest.approx(r["p50"], abs=1e-9)
+
+
+def test_drift_monitor_scores_alerts_and_replays(spark, sf_dir, tmp_path):
+    """Streaming drift gate: per-batch scores equal the batch
+    digest_drift against the static reference; a shifted batch and a
+    brand-new group raise alerts; replay with a fresh checkpoint
+    rewrites identical log rows (partition-overwrite idempotence)."""
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.digest_agg import tdigest_agg
+    from tdigest_spark.operators.drift import digest_drift
+    from tdigest_spark.streaming.drift_stream import drift_monitor
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    src = tmp_path / "drift_src"
+    # chunks 0/1: two halves of the real data; chunk 2: values shifted
+    # +1000 (total drift) plus a brand-new group
+    halves = np.array_split(pdf.index.to_numpy(), 2)
+    for i, chunk in enumerate(halves):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.parquet(
+            str(src / f"chunk={i}")
+        )
+    shifted = pdf.copy()
+    shifted["value"] = shifted["value"] + 1000.0
+    shifted = pd.concat(
+        [shifted, pd.DataFrame({"event_type": ["zzz"] * 5, "value": [1.0] * 5})],
+        ignore_index=True,
+    )
+    spark.createDataFrame(shifted).coalesce(1).write.parquet(str(src / "chunk=2"))
+
+    reference = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
+    log = str(tmp_path / "drift_log")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/chunk=*")
+        )
+        q = drift_monitor(
+            stream, reference, "value", ["event_type"], log,
+            str(tmp_path / ck), delta=LOSSLESS, thresholds={"ks": 0.5},
+        )
+        q.awaitTermination(300)
+
+    run("ck_a")
+    logdf = spark.read.parquet(log)
+    rows = logdf.collect()
+    assert {r["batch_id"] for r in rows} == {0, 1, 2}
+    # halves of the same distribution: no alerts in batches 0/1
+    assert not any(r["alert"] for r in rows if r["batch_id"] in (0, 1))
+    b2 = {r["event_type"]: r for r in rows if r["batch_id"] == 2}
+    assert b2["zzz"]["alert"] and b2["zzz"]["ks"] is None  # new group
+    for k, r in b2.items():
+        if k != "zzz":
+            assert r["alert"] and r["ks"] > 0.5  # +1000 shift: total drift
+
+    # per-batch scores == batch-wise digest_drift against the reference
+    for i, chunk_pdf in enumerate([pdf.loc[halves[0]], pdf.loc[halves[1]], shifted]):
+        cur = tdigest_agg(
+            spark.createDataFrame(chunk_pdf), "value", by=["event_type"], delta=LOSSLESS
+        )
+        want = {
+            r["event_type"]: r
+            for r in digest_drift(reference, cur, by=["event_type"], how="right").collect()
+        }
+        got = {r["event_type"]: r for r in rows if r["batch_id"] == i}
+        assert set(got) == set(want)
+        for k in want:
+            for m in ("ks", "w1", "psi"):
+                a, b = got[k][m], want[k][m]
+                assert (a is None and b is None) or a == pytest.approx(b, abs=1e-9)
+
+    # replay: fresh checkpoint redelivers batches 0..2 — the log must
+    # end up identical, not doubled
+    run("ck_b")
+    again = spark.read.parquet(log).collect()
+    assert len(again) == len(rows)
+    assert sorted(map(str, again)) == sorted(map(str, rows))
