@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from tdigest_spark.operators.digest_agg import canon_key
 from tdigest_spark.sketch.bloom import BloomFilter
 from tdigest_spark.sketch.cms import CountMin
+from tdigest_spark.sketch.fd import FrequentDirections
 from tdigest_spark.sketch.hll import HLL
 from tdigest_spark.sketch.kll import KLL
 from tdigest_spark.sketch.kmv import KMV
@@ -196,6 +197,33 @@ class _TDigestKind(_Kind):
         return obj.ship_compressed()
 
 
+class _FDKind(_Kind):
+    """Frequent-directions matrix sketch as a kind: spec is
+    ``("fd", vec_col, ell, d)`` (the dimension is required up front —
+    ``new()`` must produce a mergeable empty sketch before any data is
+    seen). Exists for SCAN FUSION: spectral summaries built in the
+    same pass as the scalar sketches over an embeddings table; the
+    dedicated surface (:mod:`~tdigest_spark.operators.fd_agg`) stays
+    primary for stats/projection/drift."""
+
+    name, cast = "fd", "array<double>"
+
+    def new(self, params):
+        if len(params) < 2:
+            raise ValueError('fd kind needs ("fd", vec_col, ell, d)')
+        return FrequentDirections(params[0], params[1])
+
+    def update(self, obj, series):
+        vs = [
+            np.asarray(v, dtype=np.float64)
+            for v in series
+            if v is not None and len(v)
+        ]
+        if vs:
+            obj.add(np.asarray(vs))
+        return obj
+
+
 KINDS: dict[str, _Kind] = {
     k.name: k
     for k in (
@@ -206,8 +234,11 @@ KINDS: dict[str, _Kind] = {
         _KLLWeightedKind(),
         _KMVKind(),
         _TDigestKind(),
+        _FDKind(),
     )
 }
+
+
 _CLS = {
     "hll": HLL,
     "bloom": BloomFilter,
@@ -216,6 +247,7 @@ _CLS = {
     "kll_w": KLL,
     "kmv": KMV,
     "td": TDigest,
+    "fd": FrequentDirections,
 }
 
 

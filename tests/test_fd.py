@@ -194,3 +194,37 @@ def test_fd_subspace_drift_operator(spark, sf_dir):
     # self-drift: identical subspace
     self_rows = fd_subspace_drift(a, a, k=3, by=["label"]).collect()
     assert all(r["subspace_overlap"] == pytest.approx(1.0) for r in self_rows)
+
+
+def test_fd_as_sketch_kind_one_pass(spark, sf_dir):
+    """FD through the generic sketch_build framework: one scan builds
+    the spectral summary alongside an HLL; invariants (n_rows,
+    frob_sq, PSD deficit <= carried bound) hold per group; the blob
+    merges through sketch_merge_agg; bad spec raises."""
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_merge_agg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sketch_build(
+        emb,
+        {"spec": ("fd", "embedding", 24, 64), "ids": ("hll", "vec_id", 12)},
+        by=["label"],
+    )
+    pdf = emb.select("label", "embedding").toPandas()
+    blobs = {r["label"]: bytes(r["spec"]) for r in out.collect()}
+    assert set(blobs) == set(pdf["label"].unique())
+    for label, b in blobs.items():
+        fd = FrequentDirections.from_bytes(b)
+        g = pdf[pdf["label"] == label]
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        assert fd.n_rows == len(A)
+        assert fd.frob_sq == pytest.approx(float((A * A).sum()), rel=1e-6)
+        eigs = np.linalg.eigvalsh(A.T @ A - fd.gram())
+        assert eigs.min() >= -1e-6 * fd.frob_sq
+        assert eigs.max() <= fd.error_bound() + 1e-6 * fd.frob_sq
+
+    rolled = sketch_merge_agg(out.drop("ids"), {"spec": "fd"}).collect()[0]
+    fr = FrequentDirections.from_bytes(bytes(rolled["spec"]))
+    assert fr.n_rows == len(pdf)
+
+    with pytest.raises(Exception, match="fd kind needs"):
+        sketch_build(emb, {"s": ("fd", "embedding", 24)}, by=["label"]).collect()
