@@ -261,10 +261,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     scaling = "--scaling" in sys.argv
 
-    try:
-        load_avg = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_avg = None
+    # bounded quiet-wait before the timed suite: host stall windows
+    # (BENCH.md §2) inflate every Python-stage leg uniformly; starting
+    # in a quiet window is the cheapest defense, and the observed load
+    # is recorded either way
+    load_avg = _wait_for_quiet(max_wait=120)
 
     times, rates, noise_ref, rank_err = _run_suite(f"local[{cpus}]", sf_dir)
     out = {
