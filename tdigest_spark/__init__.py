@@ -70,6 +70,9 @@ _EXPORTS = {
     "split_by_hash": ("tdigest_spark.operators.sampling", "split_by_hash"),
     "sample_k": ("tdigest_spark.operators.sampling", "sample_k"),
     "exact_dedup": ("tdigest_spark.operators.dedup", "exact_dedup"),
+    "url_normalize": ("tdigest_spark.functions.urls", "url_normalize"),
+    "url_host": ("tdigest_spark.functions.urls", "url_host"),
+    "url_registered_domain": ("tdigest_spark.functions.urls", "url_registered_domain"),
     "minhash_dedup_pairs": ("tdigest_spark.operators.dedup", "minhash_dedup_pairs"),
     "connected_components": ("tdigest_spark.operators.dedup", "connected_components"),
     "cosine_topk": ("tdigest_spark.operators.similarity", "cosine_topk"),
