@@ -17,12 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 # 61 — both exactly 50, a hard count cap), so round 3 consolidated the
 # registry to exactly 50 queries with no loss of operator coverage (merged
 # same-operator queries; see each family's docstrings) — EVERY
-# registered query now fits the cap. Order still matters as a hedge:
-# the families whose last driver-green signal is oldest (dedup &
-# similarity sat past the round-2 cut) go FIRST, the thrice-verified
-# cheap tdigest family last, so any residual budget cut lands on the
-# queries with the freshest prior evidence.
+# registered query now fits the cap. Late round 3 swapped one slot:
+# td_cdf_probe_events folded into td_stats_events (same digest, same
+# table) to admit dr_drift_events (the drift-metric family) while
+# staying at exactly 50. Order still matters as a hedge: families with
+# NO driver row yet (drift) or the oldest green signal (dedup,
+# similarity) go FIRST, the thrice-verified cheap tdigest family last,
+# so any residual budget cut lands on the queries with the freshest
+# prior evidence.
 _FAMILIES = (
+    "drift_q",
     "dedup_q",
     "similarity_q",
     "sketch_q",

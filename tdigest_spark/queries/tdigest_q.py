@@ -39,10 +39,14 @@ def td_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     median (``quantile``), ``mean``/``variance``/``stddev`` (incl. the
     reference's NonEmpty missing-sqrt fix), ``total_weight``, exact
     running ``vmin``/``vmax`` — every stat the reference's Postprocess
-    module exposes, from one lossless digest, hash-exact vs SQL.
+    module exposes, from one lossless digest, hash-exact vs SQL — plus
+    the per-group cdf probe (``tdigest_cdf_at`` at each group's max:
+    the mid-rank convention makes it ``1 − ties/2n``, exact).
     (Consolidates round-2's td_median_events + td_moments_events +
-    td_count_minmax_events under the driver's 50-row budget.)"""
-    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
+    td_count_minmax_events, and round-3's td_cdf_probe_events, under
+    the driver's 50-row budget.)"""
+    ev = load(spark, sf_dir, "events")
+    dig = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
     out = tdigest_stats(
         dig,
         {
@@ -56,7 +60,12 @@ def td_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     out = _round(out, {"median_value": 4, "mean_value": 4, "var_value": 3, "std_value": 4})
-    return out.withColumn("n_values", F.col("n_values").cast("long"))
+    out = out.withColumn("n_values", F.col("n_values").cast("long"))
+    probes = ev.groupBy("event_type").agg(F.max("value").alias("__probe"))
+    cdf = tdigest_cdf_at(
+        dig.join(probes, "event_type"), "__probe", out_col="cdf_at_max"
+    ).select("event_type", F.round("cdf_at_max", 6).alias("cdf_at_max"))
+    return out.join(cdf, "event_type")
 
 
 def td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,14 +85,6 @@ def td_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return _round(out, {c: 4 for c in ("q10", "q50", "q90", "q99", "tmean_10_90")})
-
-
-def td_cdf_probe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    dig = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
-    probes = ev.groupBy("event_type").agg(F.max("value").alias("__probe"))
-    out = tdigest_cdf_at(dig.join(probes, "event_type"), "__probe", out_col="cdf_at_max")
-    return _round(out.drop("__probe"), {"cdf_at_max": 6})
 
 
 def td_merge_engines_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +402,6 @@ def td_highcard_sql_build_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 QUERIES = {
     "td_stats_events": td_stats_events,
     "td_quantiles_lineitem": td_quantiles_lineitem,
-    "td_cdf_probe_events": td_cdf_probe_events,
     "td_merge_engines_events": td_merge_engines_events,
     "td_histogram_mass_events": td_histogram_mass_events,
     "td_p99_compressed": td_p99_compressed,
@@ -418,15 +418,20 @@ QUERIES = {
 
 ORACLES = {
     "td_stats_events": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 4) AS median_value,
-               round(avg(value), 4) AS mean_value,
-               round(var_samp(value), 3) AS var_value,
-               round(stddev_samp(value), 4) AS std_value,
-               count(value) AS n_values,
-               min(value) AS min_value,
-               max(value) AS max_value
-        FROM events GROUP BY event_type
+        WITH m AS (SELECT event_type, max(value) AS x FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               round(quantile_cont(e.value, 0.5), 4) AS median_value,
+               round(avg(e.value), 4) AS mean_value,
+               round(var_samp(e.value), 3) AS var_value,
+               round(stddev_samp(e.value), 4) AS std_value,
+               count(e.value) AS n_values,
+               min(e.value) AS min_value,
+               max(e.value) AS max_value,
+               round(sum(CASE WHEN e.value < m.x THEN 1.0
+                              WHEN e.value = m.x THEN 0.5 ELSE 0.0 END) / count(*), 6)
+                   AS cdf_at_max
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type
     """,
     "td_quantiles_lineitem": """
         WITH r AS (
@@ -452,15 +457,6 @@ ORACLES = {
         )
         SELECT q.l_returnflag, q10, q50, q90, q99, tmean_10_90
         FROM q JOIN tm USING (l_returnflag)
-    """,
-    "td_cdf_probe_events": """
-        WITH m AS (SELECT event_type, max(value) AS x FROM events GROUP BY event_type)
-        SELECT e.event_type,
-               round(sum(CASE WHEN e.value < m.x THEN 1.0
-                              WHEN e.value = m.x THEN 0.5 ELSE 0.0 END) / count(*), 6)
-                   AS cdf_at_max
-        FROM events e JOIN m USING (event_type)
-        GROUP BY e.event_type
     """,
     "td_merge_engines_events": """
         SELECT event_type,
