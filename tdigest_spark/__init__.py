@@ -29,6 +29,10 @@ _EXPORTS = {
         "tdigest_spark.operators.digest_agg",
         "with_percentile_rank",
     ),
+    "filter_percentile_range": (
+        "tdigest_spark.operators.digest_agg",
+        "filter_percentile_range",
+    ),
     "tdigest_histogram": ("tdigest_spark.operators.digest_agg", "tdigest_histogram"),
     "tdigest_rollup": ("tdigest_spark.operators.digest_agg", "tdigest_rollup"),
     "tdigest_cube": ("tdigest_spark.operators.digest_agg", "tdigest_cube"),

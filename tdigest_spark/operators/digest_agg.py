@@ -722,6 +722,38 @@ def with_percentile_rank(
     return rows.mapInPandas(score, out_schema)
 
 
+def filter_percentile_range(
+    rows: DataFrame,
+    digests: DataFrame,
+    value_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    by: Sequence[str] = (),
+    keep_rank: str | None = None,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Keep rows whose value sits inside [``lo``, ``hi``] of their OWN
+    group's distribution — the quantile-trimming move of a curation
+    pipeline ("drop each language's bottom 10% and top 1% by quality")
+    as one operator: :func:`with_percentile_rank` scores rows in place
+    against the broadcast digest table, then a codegen filter trims.
+    Rows whose group has no digest score NULL and are DROPPED (no
+    reference distribution = no basis to keep; surface such groups via
+    a ``digest_drift(how="full")`` check, not silently here — this IS
+    the documented policy, not an accident). ``keep_rank`` optionally
+    retains the rank column for downstream use."""
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
+    rank = keep_rank or "__pct_rank"
+    scored = with_percentile_rank(
+        rows, digests, value_col, by=by, out_col=rank, digest_col=digest_col
+    )
+    out = scored.filter(
+        F.col(rank).isNotNull() & (F.col(rank) >= lo) & (F.col(rank) <= hi)
+    )
+    return out if keep_rank else out.drop(rank)
+
+
 def _null_nan_key(key: tuple) -> tuple:
     """canon_key plus None -> NaN-sentinel: a NULL numeric group key
     collects as None on the driver but surfaces as float NaN in a

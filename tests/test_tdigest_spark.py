@@ -651,3 +651,46 @@ def test_with_percentile_rank(spark, events, sf_dir):
     ).select("event_type", "pct_rank").toPandas()
     assert scored2.loc[scored2["event_type"] == miss, "pct_rank"].isna().all()
     assert scored2.loc[scored2["event_type"] != miss, "pct_rank"].notna().all()
+
+
+def test_filter_percentile_range(spark, events):
+    """Quantile trimming: kept rows equal the exact per-group rank
+    window (lossless digests), boundary conventions match the mid-rank
+    cdf, no-digest groups drop, keep_rank retains the score column."""
+    import pandas as pd
+
+    from tdigest_spark.operators.digest_agg import (
+        filter_percentile_range,
+        with_percentile_rank,
+    )
+
+    dig = tdigest_agg(events, "value", by=["event_type"], delta=LOSSLESS)
+    lo, hi = 0.1, 0.9
+    kept = filter_percentile_range(
+        events, dig, "value", lo, hi, by=["event_type"], keep_rank="r"
+    )
+    rows = kept.collect()
+    assert rows
+    # reference: score everything, filter in pandas
+    scored = with_percentile_rank(
+        events, dig, "value", by=["event_type"], out_col="r"
+    ).toPandas()
+    want = scored[(scored["r"] >= lo) & (scored["r"] <= hi)]
+    assert len(rows) == len(want)
+    assert all(lo <= r["r"] <= hi for r in rows)
+    got_ids = sorted(r["event_id"] for r in rows)
+    assert got_ids == sorted(want["event_id"].tolist())
+
+    # keep_rank=None drops the column
+    assert "r" not in filter_percentile_range(
+        events, dig, "value", lo, hi, by=["event_type"]
+    ).columns
+
+    # a group with no digest vanishes entirely
+    some = dig.limit(1).collect()[0]["event_type"]
+    dig2 = dig.filter(F.col("event_type") != some)
+    kept2 = filter_percentile_range(events, dig2, "value", 0.0, 1.0, by=["event_type"])
+    assert kept2.filter(F.col("event_type") == some).count() == 0
+
+    with pytest.raises(ValueError, match="lo <= hi"):
+        filter_percentile_range(events, dig, "value", 0.9, 0.1, by=["event_type"])
