@@ -529,6 +529,9 @@ _EST_FNS = {
     "td_cdf": ("td", lambda o, x: o.cdf(x), T.DoubleType()),
     "td_mean": ("td", lambda o: o.mean(), T.DoubleType()),
     "td_total_weight": ("td", lambda o: float(o.total_weight), T.DoubleType()),
+    "fd_n_rows": ("fd", lambda o: float(o.n_rows), T.DoubleType()),
+    "fd_frob_sq": ("fd", lambda o: o.frob_sq, T.DoubleType()),
+    "fd_err_bound": ("fd", lambda o: o.error_bound(), T.DoubleType()),
 }
 
 

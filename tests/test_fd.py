@@ -228,3 +228,17 @@ def test_fd_as_sketch_kind_one_pass(spark, sf_dir):
 
     with pytest.raises(Exception, match="fd kind needs"):
         sketch_build(emb, {"s": ("fd", "embedding", 24)}, by=["label"]).collect()
+
+
+def test_fd_estimates_surface(spark, sf_dir):
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sk = sketch_build(emb, {"s": ("fd", "embedding", 24, 64)}, by=["label"])
+    out = sketch_estimates(
+        sk, {"n": ("fd_n_rows", "s"), "eb": ("fd_err_bound", "s"), "fr": ("fd_frob_sq", "s")}
+    ).collect()
+    counts = {r["label"]: r["n"] for r in emb.groupBy("label").count().collect()}
+    for r in out:
+        assert r["n"] == counts[r["label"]]
+        assert r["fr"] > 0 and 0 <= r["eb"] <= 2 * r["fr"] / 24
