@@ -238,7 +238,7 @@ def test_fd_estimates_surface(spark, sf_dir):
     out = sketch_estimates(
         sk, {"n": ("fd_n_rows", "s"), "eb": ("fd_err_bound", "s"), "fr": ("fd_frob_sq", "s")}
     ).collect()
-    counts = {r["label"]: r["n"] for r in emb.groupBy("label").count().collect()}
+    counts = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
     for r in out:
         assert r["n"] == counts[r["label"]]
         assert r["fr"] > 0 and 0 <= r["eb"] <= 2 * r["fr"] / 24
