@@ -150,9 +150,27 @@ def _compress(
     out_m: list[float] = []
     out_w: list[float] = []
     i = 0
+    delta_f = float(delta)
+    tw_f = float(tw)
     while i < n:
-        c0 = cum[i - 1] if i > 0 else 0.0
-        qlim = float(ksize_inv(ksize(c0 / tw, float(delta)) + 1.0, float(delta)))
+        c0 = float(cum[i - 1]) if i > 0 else 0.0
+        # qlim = ksize_inv(ksize(c0/tw) + 1) INLINED with math.* scalar
+        # ops: the per-cluster numpy scalar calls (asarray/clip/ufunc
+        # dispatch) dominated this loop's profile at ~3x the cost of
+        # the math themselves. Formula kept textually in sync with
+        # ksize/ksize_inv above; test_compress_qlim_matches_scale_fns
+        # pins the equivalence.
+        q0 = c0 / tw_f
+        if q0 < 0.0:
+            q0 = 0.0
+        elif q0 > 1.0:
+            q0 = 1.0
+        kq = delta_f * (math.asin(2.0 * q0 - 1.0) / math.pi + 0.5) + 1.0
+        qlim = 0.5 * (math.sin((kq / delta_f - 0.5) * math.pi) + 1.0)
+        if qlim > 1.0:
+            qlim = 1.0
+        elif qlim < 0.0:
+            qlim = 0.0
         j = int(np.searchsorted(cum, qlim * tw * (1.0 + 1e-15), side="right")) - 1
         if j < i:
             j = i
@@ -220,7 +238,14 @@ class TDigest:
             v, w = v[keep], w[keep]
         if v.size == 0:
             return cls.empty(delta)
-        order = np.argsort(v, kind="stable")
+        if weights is None:
+            # unit weights: tied values are fully interchangeable
+            # ((value, 1) tuples are identical), so the faster
+            # introsort gives a byte-identical digest; stability only
+            # matters when distinct weights can ride on tied values
+            order = np.argsort(v)
+        else:
+            order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
         # build at working compression (2x public delta): halves merged
         # rank error for the same final size; `compressed()` enforces

@@ -359,3 +359,37 @@ def test_insert_single_value_parity():
     bulk = TDigest.from_values(vals, 100_000)
     for q in (0.01, 0.25, 0.5, 0.9, 0.999):
         assert abs(seq.quantile(q) - bulk.quantile(q)) < 1e-12
+
+
+def test_compress_qlim_matches_scale_fns():
+    """_compress inlines qlim = ksize_inv(ksize(q0) + 1) with scalar
+    math.* ops for speed; this pins the inlined formula to the public
+    scale functions so they cannot drift apart."""
+    import math
+
+    from tdigest_spark.sketch.tdigest import ksize, ksize_inv
+
+    rng = np.random.default_rng(1)
+    for delta in (20, 200, 400, 1000):
+        for q0 in np.concatenate(
+            (rng.uniform(0, 1, 200), [0.0, 1.0, 1e-12, 1 - 1e-12])
+        ):
+            want = float(ksize_inv(ksize(float(q0), float(delta)) + 1.0, float(delta)))
+            kq = delta * (math.asin(2.0 * q0 - 1.0) / math.pi + 0.5) + 1.0
+            got = 0.5 * (math.sin((kq / delta - 0.5) * math.pi) + 1.0)
+            got = min(max(got, 0.0), 1.0)
+            assert abs(got - want) < 1e-15
+
+
+def test_unweighted_build_sort_kind_is_immaterial():
+    """Heavily tied unweighted input: introsort vs stable sort give a
+    byte-identical digest ((value, 1) tuples are interchangeable)."""
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 50, 20_000).astype(np.float64)  # ~400 ties per value
+    d = TDigest.from_values(v, 100)
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    from tdigest_spark.sketch.tdigest import _compress
+
+    m, w = _compress(vs, np.ones_like(vs), TDigest.WORK_MULT * 100, reverse=False)
+    assert np.array_equal(d.means, m) and np.array_equal(d.weights, w)
