@@ -79,6 +79,13 @@ class FrequentDirections:
         _, s, vt = np.linalg.svd(self.rows, full_matrices=False)
         half = self.ell // 2
         if len(s) <= half:
+            # fewer singular values than the shrink pivot (d <= ell/2,
+            # or a short buffer): nothing to shrink, but REBUILD from
+            # the SVD anyway — B^T B is preserved exactly and the row
+            # buffer stays bounded at rank <= min(d, ell) instead of
+            # growing by every appended batch
+            keep = s > 0.0
+            self.rows = s[keep][:, None] * vt[keep]
             return
         delta = float(s[half] ** 2)
         s_sq = np.maximum(s**2 - delta, 0.0)

@@ -242,3 +242,19 @@ def test_fd_estimates_surface(spark, sf_dir):
     for r in out:
         assert r["n"] == counts[r["label"]]
         assert r["fr"] > 0 and 0 <= r["eb"] <= 2 * r["fr"] / 24
+
+
+def test_fd_buffer_bounded_when_d_below_half_ell():
+    """d <= ell/2: the SVD has <= d singular values, so the shrink
+    pivot never exists — the buffer must still stay bounded (rebuild
+    from the SVD, Gram preserved exactly) instead of growing by every
+    batch."""
+    rng = np.random.default_rng(21)
+    fd = FrequentDirections(24, 8)
+    A = rng.normal(size=(5000, 8))
+    for i in range(0, len(A), 100):
+        fd.add(A[i : i + 100])
+        assert len(fd.rows) <= 24 + 100  # bounded across the whole run
+    assert len(fd.rows) <= 8  # rank <= d after the last rebuild
+    assert np.allclose(fd.gram(), A.T @ A)  # no mass lost, ever
+    assert fd.error_bound() == 0.0
