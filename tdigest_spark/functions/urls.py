@@ -40,10 +40,20 @@ def _col(url) -> Column:
 
 
 def url_host(url) -> Column:
-    """Lower-cased host, without any ``user:pass@`` prefix or port."""
+    """Lower-cased host, without any ``user:pass@`` prefix, port, or
+    trailing root-dot (``example.com.`` is the same FQDN as
+    ``example.com``)."""
     host = F.lower(F.parse_url(_col(url), F.lit("HOST")))
     # parse_url keeps userinfo for some inputs; strip defensively
-    return F.regexp_replace(host, r"^.*@", "")
+    return F.regexp_replace(F.regexp_replace(host, r"^.*@", ""), r"\.+$", "")
+
+
+def _url_port(url) -> Column:
+    """Explicit port string ('' when absent) — parse_url's HOST part
+    never carries it, so it comes from AUTHORITY."""
+    auth = F.parse_url(_col(url), F.lit("AUTHORITY"))
+    no_user = F.regexp_replace(auth, r"^.*@", "")
+    return F.regexp_extract(no_user, r":(\d+)$", 1)
 
 
 def url_path(url) -> Column:
@@ -72,7 +82,9 @@ def url_normalize(url, drop_params: tuple = TRACKING_PARAMS) -> Column:
 
     - scheme: http/https collapse to ``https`` (same document either
       way in a crawl), lower-cased
-    - host: lower-cased, default ports (``:80``/``:443``) dropped
+    - host: lower-cased, trailing root-dot stripped; DEFAULT ports
+      (``:80`` on http / ``:443`` on https) dropped, non-default ports
+      KEPT — a different explicit port is a different origin
     - path: trailing slash collapsed, empty -> ``/``
     - query: split on ``&``, ``drop_params`` (tracking noise) and empty
       fragments removed, remaining params SORTED (param order never
@@ -83,9 +95,20 @@ def url_normalize(url, drop_params: tuple = TRACKING_PARAMS) -> Column:
     the scan's codegen stage.
     """
     c = _col(url)
-    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
-    scheme = F.when(scheme.isin("http", "https"), F.lit("https")).otherwise(scheme)
+    orig_scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    scheme = F.when(orig_scheme.isin("http", "https"), F.lit("https")).otherwise(
+        orig_scheme
+    )
     host = url_host(c)
+    # a NON-default explicit port is a different origin — keep it
+    # (default ports, judged against the ORIGINAL scheme, drop)
+    port = _url_port(c)
+    default_port = (
+        (port == "")
+        | ((orig_scheme == "http") & (port == "80"))
+        | ((orig_scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
     path = url_path(c)
     query = F.parse_url(c, F.lit("QUERY"))
     params = F.array_sort(
@@ -99,4 +122,4 @@ def url_normalize(url, drop_params: tuple = TRACKING_PARAMS) -> Column:
         query.isNotNull() & (F.size(params) > 0),
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qpart)
+    return F.concat(scheme, F.lit("://"), host, port_part, path, qpart)

@@ -66,11 +66,20 @@ def curate_webpages(
     curated rows carry ``canon_url``/``n_chars``/``split``; the report
     has one row per (lang, split) with counts plus the per-lang
     raw-vs-curated drift metrics."""
-    head_lang_fraction = head_lang_fraction or {"en": 0.5}
-    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    # explicit {} means "no rebalance" — only None selects the default
+    if head_lang_fraction is None:
+        head_lang_fraction = {"en": 0.5}
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
 
+    # url_normalize yields NULL for unparseable urls; fall back to the
+    # raw url so such documents keep DISTINCT dedup keys — otherwise
+    # every malformed-url document corpus-wide would share one NULL key
+    # and exact_dedup would keep a single survivor
     staged = with_text_features(
-        pages.withColumn("canon_url", url_normalize("url"))
+        pages.withColumn(
+            "canon_url", F.coalesce(url_normalize("url"), F.col("url"))
+        )
     )
     deduped = exact_dedup(staged, ["canon_url"], id_col="url")
     raw_digests = tdigest_agg(
@@ -83,7 +92,12 @@ def curate_webpages(
         trimmed, "lang", head_lang_fraction, key_cols="canon_url",
         default=1.0, seed=seed,
     )
-    curated = split_by_hash(balanced, "canon_url", splits, seed=seed + 1)
+    # pin the curated table: three consumers follow (the caller's
+    # write, the count report, the drift digests) — without this the
+    # whole dedup+trim+sample chain re-executes per consumer
+    curated = split_by_hash(balanced, "canon_url", splits, seed=seed + 1).localCheckpoint(
+        eager=False
+    )
 
     cur_digests = tdigest_agg(curated, "n_chars", by=["lang"], delta=delta)
     drift = digest_drift(raw_digests, cur_digests, by=["lang"], how="left")

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..sketch.fd import FrequentDirections
+from ..sketch.fd import FrequentDirections, stack_vectors
 
 __all__ = [
     "fd_agg",
@@ -35,13 +35,8 @@ __all__ = [
 ]
 
 
-def _batch_matrix(series: pd.Series) -> np.ndarray | None:
-    """Stack an Arrow list column into one (n x d) float64 block,
-    dropping NULL vectors. None if the batch has no usable rows."""
-    vs = [v for v in series if v is not None and len(v)]
-    if not vs:
-        return None
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+# single shared vector-ingest policy (drop NULL/empty entries)
+_batch_matrix = stack_vectors
 
 
 def fd_agg(
@@ -270,13 +265,13 @@ def fd_project(
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            res: list = []
             vals = pdf[vec_col]
-            ok = vals.notna()
+            # the shared ingest policy: NULL AND empty vectors project
+            # to NULL (an empty list passes notna() but would make the
+            # stack ragged)
+            ok = vals.map(lambda v: v is not None and len(v) > 0)
             if ok.any():
-                mat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in vals[ok]]
-                )
+                mat = stack_vectors(vals[ok])
                 proj = mat @ comp.T
                 it = iter(proj)
                 res = [list(next(it)) if m else None for m in ok]

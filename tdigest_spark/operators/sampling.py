@@ -150,6 +150,14 @@ def sample_k(
     sampled once per key (all duplicates share u — pass a unique key
     to sample duplicates independently).
 
+    Determinism: with DISTINCT rank keys the output rows are a pure
+    function of (key, seed) — stable under repartitioning, AQE, and
+    retries. When duplicate keys tie exactly at the k boundary, the
+    SET of selected rank keys is still deterministic, but which tied
+    ROW represents a key follows encounter order and may vary with
+    partitioning — pass a unique key (e.g. a row id) when that
+    distinction matters.
+
     ``rank_col``: optionally keep the rank key in the output (e.g. to
     subsample further downstream without re-hashing).
     """

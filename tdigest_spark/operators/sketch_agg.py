@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from tdigest_spark.operators.digest_agg import canon_key
 from tdigest_spark.sketch.bloom import BloomFilter
 from tdigest_spark.sketch.cms import CountMin
-from tdigest_spark.sketch.fd import FrequentDirections
+from tdigest_spark.sketch.fd import FrequentDirections, stack_vectors
 from tdigest_spark.sketch.hll import HLL
 from tdigest_spark.sketch.kll import KLL
 from tdigest_spark.sketch.kmv import KMV
@@ -214,13 +214,9 @@ class _FDKind(_Kind):
         return FrequentDirections(params[0], params[1])
 
     def update(self, obj, series):
-        vs = [
-            np.asarray(v, dtype=np.float64)
-            for v in series
-            if v is not None and len(v)
-        ]
-        if vs:
-            obj.add(np.asarray(vs))
+        mat = stack_vectors(series)
+        if mat is not None:
+            obj.add(mat)
         return obj
 
 

@@ -37,7 +37,22 @@ import struct
 
 import numpy as np
 
-__all__ = ["FrequentDirections"]
+__all__ = ["FrequentDirections", "stack_vectors"]
+
+
+def stack_vectors(values) -> np.ndarray | None:
+    """Stack an iterable of vectors (Arrow list column values) into one
+    (n x d) float64 block, dropping NULL and EMPTY entries — the
+    single vector-ingest policy shared by every FD surface (`fd_agg`,
+    the one-pass sketch kind, `fd_project`). None if nothing usable."""
+    vs = [
+        np.asarray(v, dtype=np.float64)
+        for v in values
+        if v is not None and len(v)
+    ]
+    if not vs:
+        return None
+    return np.asarray(vs)
 
 
 class FrequentDirections:

@@ -685,10 +685,24 @@ class TDigest:
         if row is None:
             return cls.empty()
         get = row.get if isinstance(row, dict) else lambda k: getattr(row, k)
-        means = np.asarray(get("means"), dtype=np.float64)
-        tw = float(get("total_weight") or 0.0)
+        raw_means = get("means")
+        tw_raw = get("total_weight")
+        # a NULL struct reaching a pandas UDF arrives as a NaN-filled
+        # record (every field a float NaN), not as None — e.g. the
+        # outer-joined digest views the SQL drift UDFs document. Treat
+        # it as the empty digest, same as row is None.
+        if raw_means is None or isinstance(raw_means, float):
+            return cls.empty()
+        if tw_raw is None or (isinstance(tw_raw, float) and math.isnan(tw_raw)):
+            return cls.empty()
+        means = np.asarray(raw_means, dtype=np.float64)
+        tw = float(tw_raw)
         if means.size == 0 or tw == 0.0:
-            return cls.empty(int(get("delta") or 200))
+            delta_raw = get("delta")
+            ok = delta_raw is not None and not (
+                isinstance(delta_raw, float) and math.isnan(delta_raw)
+            )
+            return cls.empty(int(delta_raw) if ok and delta_raw else 200)
         return cls(
             means=means,
             weights=np.asarray(get("weights"), dtype=np.float64),

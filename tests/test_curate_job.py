@@ -75,3 +75,22 @@ def test_curate_report_carries_drift(result):
         assert r["w1"] is not None and r["w1"] > 0
         assert 0 < r["ks"] < 0.5
         assert r["n_docs"] > 0
+
+
+def test_curate_preserves_unparseable_urls(spark):
+    """Documents whose urls fail canonicalization (NULL from
+    url_normalize) must keep DISTINCT dedup keys — not collapse into
+    one corpus-wide NULL-keyed group."""
+    rows = [
+        ("example.com/a", "2024-01-01", b"", "alpha " * 30, "en"),
+        ("example.com/b", "2024-01-01", b"", "bravo " * 30, "en"),
+        ("http://ok.com/x", "2024-01-01", b"", "charlie " * 30, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    )
+    curated, _ = curate_webpages(
+        spark, df, delta=LOSSLESS, trim_lo=0.0, trim_hi=1.0,
+        head_lang_fraction={},
+    )
+    assert curated.count() == 3  # nothing silently merged

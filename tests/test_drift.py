@@ -184,3 +184,25 @@ def test_drift_sql_surface(spark, sf_dir):
         assert r["ks"] == pytest.approx(ks_distance(da[k], db[k]), abs=1e-12)
         assert r["w1"] == pytest.approx(w1_distance(da[k], db[k]), abs=1e-9)
         assert r["psi"] == pytest.approx(psi_score(da[k], db[k]), abs=1e-9)
+
+
+def test_drift_sql_surface_null_digest(spark, sf_dir):
+    """A NULL digest struct (outer-joined views — the documented SQL
+    use case) must yield NULL drift metrics, not a worker crash."""
+    from tdigest_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = tdigest_agg(events, "value", by=["event_type"], delta=100)
+    b = a.limit(0)  # empty right side: every left row joins to NULL
+    a.createOrReplaceTempView("null_drift_a")
+    b.createOrReplaceTempView("null_drift_b")
+    rows = spark.sql(
+        """SELECT a.event_type, tdigest_ks(a.digest, b.digest) AS ks,
+                  tdigest_w1(a.digest, b.digest) AS w1,
+                  tdigest_psi(a.digest, b.digest) AS psi
+           FROM null_drift_a a LEFT JOIN null_drift_b b USING (event_type)"""
+    ).collect()
+    assert rows and all(
+        r["ks"] is None and r["w1"] is None and r["psi"] is None for r in rows
+    )

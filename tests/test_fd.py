@@ -258,3 +258,16 @@ def test_fd_buffer_bounded_when_d_below_half_ell():
     assert len(fd.rows) <= 8  # rank <= d after the last rebuild
     assert np.allclose(fd.gram(), A.T @ A)  # no mass lost, ever
     assert fd.error_bound() == 0.0
+
+
+def test_fd_project_null_and_empty_vectors(spark):
+    """NULL and EMPTY embedding rows project to NULL (the shared
+    vector-ingest policy) instead of crashing the ragged stack."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, []), (3, [0.0, 2.0])],
+        "id long, v array<double>",
+    )
+    comp = np.array([[1.0, 0.0], [0.0, 1.0]])
+    got = {r["id"]: r["projected"] for r in fd_project(df, "v", comp).collect()}
+    assert got[0] == [1.0, 0.0] and got[3] == [0.0, 2.0]
+    assert got[1] is None and got[2] is None

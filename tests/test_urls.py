@@ -55,6 +55,22 @@ CASES = [
         "/data",
         "ftp://files.example.com/data",
     ),
+    (
+        # NON-default port = a different origin: kept
+        "http://example.com:8080/app",
+        "example.com",
+        "example.com",
+        "/app",
+        "https://example.com:8080/app",
+    ),
+    (
+        # trailing root-dot FQDN form collapses to the plain host
+        "http://example.com./x",
+        "example.com",
+        "example.com",
+        "/x",
+        "https://example.com/x",
+    ),
 ]
 
 
