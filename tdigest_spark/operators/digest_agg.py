@@ -860,43 +860,64 @@ def panes_to_sliding(
     slide must be pane multiples. Output: (window_start, by..., digest)
     — exact in lossless mode (digest merge is associative)."""
     by = list(by)
+    exploded = explode_panes_to_windows(
+        panes, pane_sec, window_sec, slide_sec,
+        payload_cols=[*by, digest_col], pane_col=pane_col,
+    )
+    merged = tdigest_merge_agg_sql(
+        exploded, by=["__ws", *by], digest_col=digest_col, delta=delta
+    )
+    return merged.select(
+        F.timestamp_micros((F.col("__ws") * 1_000_000).cast("long")).alias(
+            "window_start"
+        ),
+        *by,
+        digest_col,
+    )
+
+
+def explode_panes_to_windows(
+    panes: DataFrame,
+    pane_sec: int,
+    window_sec: int,
+    slide_sec: int,
+    payload_cols: Sequence[str],
+    pane_col: str = "__pane",
+) -> DataFrame:
+    """Fan each epoch-aligned tumbling PANE row out to every sliding
+    window that fully covers it — the explode half of the pane
+    optimization, shared by :func:`panes_to_sliding` (digests) and
+    ``sketch_agg.panes_to_sliding_sketches`` (companion sketches; any
+    associative-merge payload works). Output: ``__ws`` (window start,
+    epoch seconds) + ``payload_cols``; window and slide must be pane
+    multiples."""
     if window_sec % pane_sec or slide_sec % pane_sec:
         raise ValueError(
-            f"panes_to_sliding: window ({window_sec}) and slide "
+            f"explode_panes_to_windows: window ({window_sec}) and slide "
             f"({slide_sec}) must be multiples of the pane ({pane_sec})"
         )
     # a pane can be covered by up to floor((window-pane)/slide)+1
     # windows (NOT window//slide, which undercounts when window is not
     # a multiple of slide); candidates are filtered exactly below
     n_back = (window_sec - pane_sec) // slide_sec
-    us = 1_000_000
     # windows covering pane p (pane interval [p*pane, (p+1)*pane) lies
     # fully inside the window because window/slide are pane multiples):
     # starts s = k*slide with  s <= p*pane  and  s + window >= (p+1)*pane
     pane_t = F.col(pane_col) * pane_sec
     last_start = F.floor(pane_t / slide_sec) * slide_sec
     first_start = last_start - n_back * slide_sec
-    exploded = panes.select(
+    return panes.select(
         F.explode(
             F.sequence(first_start.cast("long"), last_start.cast("long"),
                        F.lit(int(slide_sec)))
         ).alias("__ws"),
         pane_t.alias("__pt"),
-        *by,
-        digest_col,
+        *payload_cols,
     ).where(
         # pane fully inside the window; negative (pre-epoch) starts are
         # kept — Spark's window() emits them too
         F.col("__ws") + window_sec >= F.col("__pt") + pane_sec
     ).drop("__pt")
-    merged = tdigest_merge_agg_sql(
-        exploded, by=["__ws", *by], digest_col=digest_col, delta=delta
-    )
-    return merged.select(
-        F.timestamp_micros((F.col("__ws") * us).cast("long")).alias("window_start"),
-        *by,
-        digest_col,
-    )
 
 
 def tdigest_describe(

@@ -40,6 +40,8 @@ from tdigest_spark.sketch.tdigest import TDigest
 __all__ = [
     "sketch_build",
     "sketch_merge_agg",
+    "sketch_sliding",
+    "panes_to_sliding_sketches",
     "sketch_estimates",
     "bloom_probe",
     "cms_probe",
@@ -509,6 +511,88 @@ def sketch_merge_agg(
             yield final(pd.concat(chunks, ignore_index=True))
 
     return _global_reduce(partials, final_global, out_schema)
+
+
+def sketch_sliding(
+    df: DataFrame,
+    specs: dict[str, tuple],
+    ts_col: str,
+    window_sec: int,
+    slide_sec: int,
+    by: Sequence[str] = (),
+    strategy: str = "partials",
+) -> DataFrame:
+    """Sliding event-time window SKETCHES via panes — the companion-
+    sketch analog of ``digest_agg.tdigest_sliding`` (rolling distinct
+    users per hour over the last 24h, rolling heavy-key frequency,
+    rolling quantiles): rows aggregate ONCE into gcd(window, slide)
+    tumbling pane sketches, then each pane blob fans out to the
+    window/slide sliding windows covering it and merges per
+    (window_start, keys). Raw rows are touched exactly once — vs the
+    window/slide-fold row duplication of ``groupBy(window(ts, w, s))``
+    — and only O(panes x blob) rows shuffle in the fan-out, the only
+    shape that survives 100 TB of raw rows.
+
+    EXACT (byte-identical to the direct per-window build) for hll /
+    bloom / cms / kmv — their merges are max/or/add/min-k, insensitive
+    to grouping order; kll / td land within their published bounds.
+    Output: (window_start timestamp, by..., blob per spec). Windows
+    are epoch-aligned like Spark's ``window()``.
+    """
+    import math
+
+    by = list(by)
+    pane_sec = math.gcd(int(window_sec), int(slide_sec))
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    norm = _norm_specs(specs)
+    value_cols = {s[1] for s in norm.values()}
+    aux_cols = {
+        c
+        for name, s in norm.items()
+        for c, _ in KINDS[s[0]].aux_cols(s[2])
+    }
+    src = df.select(
+        F.floor(t_us / (pane_sec * 1_000_000)).alias("__pane"),
+        *by,
+        *sorted(value_cols | aux_cols),
+    )
+    panes = sketch_build(src, specs, by=["__pane", *by], strategy=strategy)
+    return panes_to_sliding_sketches(
+        panes, {name: s[0] for name, s in norm.items()},
+        pane_sec, window_sec, slide_sec, by=by,
+    )
+
+
+def panes_to_sliding_sketches(
+    panes: DataFrame,
+    kinds: dict[str, str],
+    pane_sec: int,
+    window_sec: int,
+    slide_sec: int,
+    by: Sequence[str] = (),
+    pane_col: str = "__pane",
+) -> DataFrame:
+    """Roll tumbling PANE sketch blobs into SLIDING windows by
+    associative merge — the second half of :func:`sketch_sliding`,
+    public so a pane table built any way (batch above, or a streaming
+    ``sketch_sink`` keyed by pane) rolls forward without rescanning
+    raw rows. ``kinds`` maps blob column -> sketch kind; ``pane_col``
+    is the epoch-aligned pane index (floor(epoch_sec / pane_sec))."""
+    from tdigest_spark.operators.digest_agg import explode_panes_to_windows
+
+    by = list(by)
+    exploded = explode_panes_to_windows(
+        panes, pane_sec, window_sec, slide_sec,
+        payload_cols=[*by, *kinds], pane_col=pane_col,
+    )
+    merged = sketch_merge_agg(exploded, kinds, by=["__ws", *by])
+    return merged.select(
+        F.timestamp_micros((F.col("__ws") * 1_000_000).cast("long")).alias(
+            "window_start"
+        ),
+        *by,
+        *kinds,
+    )
 
 
 _EST_FNS = {

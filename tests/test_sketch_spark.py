@@ -572,3 +572,83 @@ def test_kmv_overlap_operator_matches_core(spark, sf_dir):
         assert (r["jaccard_est"], r["overlap_est"], r["union_est"]) == want
         if r["lang"] == r["lang_b"]:
             assert r["jaccard_est"] == 1.0
+
+
+def test_sketch_sliding_equals_direct_window_build(spark):
+    """Pane-based sliding sketches must equal the direct per-window
+    build. For the grouping-order-insensitive kinds (hll max / bloom
+    or / cms add / kmv min-k) the blobs are BYTE-IDENTICAL; the kll
+    window quantile is exact here (n per window < k). Window=10s,
+    slide=4s exercises the non-multiple fan-out (gcd pane 2s)."""
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_build,
+        sketch_estimates,
+        sketch_sliding,
+    )
+
+    rows = [(float(t), float(t), f"u{t % 7}") for t in range(0, 40)]
+    df = spark.createDataFrame(
+        rows, "off double, value double, user string"
+    ).select(F.timestamp_seconds(F.col("off")).alias("ts"), "value", "user")
+    specs = {
+        "h": ("hll", "user", 12),
+        "b": ("bloom", "user", 1 << 10, 5),
+        "c": ("cms", "user", 0.01, 0.01),
+        "m": ("kmv", "user", 16),
+        "k": ("kll", "value", 200),
+    }
+    out = sketch_sliding(df, specs, "ts", 10, 4)
+    got = {
+        r["window_start"].timestamp(): r
+        for r in out.collect()
+    }
+    direct = (
+        df.select(F.window("ts", "10 seconds", "4 seconds").alias("w"),
+                  "value", "user")
+        .select(F.col("w.start").alias("ws"), "value", "user")
+    )
+    ref_df = sketch_build(direct, specs, by=["ws"])
+    ref = {r["ws"].timestamp(): r for r in ref_df.collect()}
+    assert set(got) == set(ref) and len(got) >= 12
+    for ws, r in ref.items():
+        g = got[ws]
+        for c in ("h", "b", "c", "m"):
+            assert bytes(g[c]) == bytes(r[c]), (c, ws)
+    # kll: exact quantiles in this regime (n <= 10 rows per window < k)
+    med = {
+        r["window_start"].timestamp(): r["p50"]
+        for r in sketch_estimates(out, {"p50": ("kll_quantile", "k", 0.5)}).collect()
+    }
+    exact = {
+        r["ws"]: r["p50"]
+        for r in direct.groupBy("ws")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    for ws, v in exact.items():
+        assert med[ws.timestamp()] == pytest.approx(v, abs=1e-12)
+
+
+def test_sketch_sliding_grouped_counts(spark):
+    """Grouped sliding sketches: per-(window, group) cms totals equal
+    Spark's own window() row counts."""
+    from tdigest_spark.operators.sketch_agg import sketch_estimates, sketch_sliding
+
+    rows = [(float(t), float(t), "g" + str(t % 2)) for t in range(0, 30)]
+    df = spark.createDataFrame(
+        rows, "off double, value double, g string"
+    ).select(F.timestamp_seconds(F.col("off")).alias("ts"), "value", "g")
+    out = sketch_sliding(df, {"c": ("cms", "value", 0.01, 0.01)}, "ts", 6, 3,
+                         by=["g"])
+    got = {
+        (r["window_start"].timestamp(), r["g"]): r["n"]
+        for r in sketch_estimates(out, {"n": ("cms_total", "c")}).collect()
+    }
+    ref = {
+        (r["ws"].timestamp(), r["g"]): float(r["n"])
+        for r in df.select(F.window("ts", "6 seconds", "3 seconds").alias("w"), "g")
+        .groupBy(F.col("w.start").alias("ws"), "g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref
