@@ -38,6 +38,8 @@ __all__ = [
     "lsh_bands",
     "simhash_blocks",
     "oversized_buckets",
+    "decontaminate",
+    "apply_decontamination",
     "connected_components",
 ]
 
@@ -493,3 +495,123 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------- Decontamination
+
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heldout_id_col: str | None = None,
+    heldout_text_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Train/test contamination report: which corpus documents leak a
+    held-out evaluation set, exactly or as near-duplicates.
+
+    Returns (corpus_id, heldout_id, kind, jaccard) with kind ``exact``
+    (byte-identical text, jaccard pinned to 1.0) or ``near`` (shingle
+    Jaccard >= ``threshold`` but text not byte-equal). Every emitted
+    near pair is EXACT-Jaccard verified; recall follows the LSH banding
+    s-curve of :func:`minhash_dedup_pairs` (midpoint (1/bands)^(bands/
+    n_hashes)). Feed the report to :func:`apply_decontamination` to get
+    the clean corpus.
+
+    Scale shape (corpus ~100 TB, heldout = eval benchmarks, i.e. SMALL
+    — this asymmetry is the whole design):
+    * exact leg: heldout text hashes (sha2-256, 32 bytes/row) are
+      broadcast and hash-joined — the corpus never shuffles and its
+      text never leaves the scan;
+    * near leg: the corpus pays ONE shuffle (doc_id -> 64x8-byte
+      MinHash signature, map-side combined); heldout bands are
+      broadcast, so candidate generation is a broadcast join over the
+      signature table, not a self-join;
+    * verification: corpus shingles are semi-joined down to candidate
+      docs first (|candidates| << |corpus|), then exact Jaccard runs
+      against broadcast heldout shingle hashes.
+
+    Both sides shingle identically; IDs may overlap across the two
+    tables (they are never compared to each other).
+    """
+    hid = heldout_id_col or id_col
+    htext = heldout_text_col or text_col
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__t"))
+    h = heldout.select(F.col(hid).alias("heldout_id"), F.col(htext).alias("__t"))
+
+    # exact: 256-bit content hash equality == byte equality (collision
+    # odds ~1e-40 at 1e12 docs, same argument as exact_dedup)
+    hk = F.sha2(F.col("__t"), 256)
+    exact = (
+        c.select("corpus_id", hk.alias("__k"))
+        .join(F.broadcast(h.select("heldout_id", hk.alias("__k"))), "__k")
+        .select(
+            "corpus_id",
+            "heldout_id",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # near: corpus signatures (the one corpus shuffle) x broadcast
+    # heldout bands -> candidates; exact-verify candidates only
+    csh = shingles(c, "corpus_id", "__t", shingle_k).select(
+        "corpus_id", F.xxhash64("s").alias("__sh")
+    )
+    hsh = shingles(h, "heldout_id", "__t", shingle_k).select(
+        "heldout_id", F.xxhash64("s").alias("__sh")
+    )
+    csig = minhash_signatures(csh, "corpus_id", n_hashes, hash_col="__sh")
+    hsig = minhash_signatures(hsh, "heldout_id", n_hashes, hash_col="__sh")
+    cband = lsh_bands(csig, "corpus_id", n_hashes, bands)
+    hband = lsh_bands(hsig, "heldout_id", n_hashes, bands)
+    cands = (
+        cband.join(F.broadcast(hband), ["band", "bh"])
+        .select("corpus_id", "heldout_id")
+        .distinct()
+    )
+
+    # verify: corpus shingles only for candidate docs; heldout shingle
+    # hashes broadcast (8 bytes x heldout shingles)
+    ccand = csh.join(
+        cands.select("corpus_id").distinct(), "corpus_id", "left_semi"
+    )
+    inter = (
+        cands.join(ccand, "corpus_id")
+        .join(F.broadcast(hsh), ["heldout_id", "__sh"])
+        .groupBy("corpus_id", "heldout_id")
+        .agg(F.count("*").alias("__i"))
+    )
+    nc = ccand.groupBy("corpus_id").agg(F.count("*").alias("__nc"))
+    nh = hsh.groupBy("heldout_id").agg(F.count("*").alias("__nh"))
+    near = (
+        inter.join(nc, "corpus_id")
+        .join(F.broadcast(nh), "heldout_id")
+        .select(
+            "corpus_id",
+            "heldout_id",
+            (F.col("__i") / (F.col("__nc") + F.col("__nh") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .join(exact.select("corpus_id", "heldout_id"), ["corpus_id", "heldout_id"], "left_anti")
+        .select(
+            "corpus_id", "heldout_id", F.lit("near").alias("kind"), "jaccard"
+        )
+    )
+    return exact.unionAll(near)
+
+
+def apply_decontamination(
+    corpus: DataFrame, report: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every corpus document the :func:`decontaminate` report
+    flags (any kind). The flagged-id set is tiny relative to the
+    corpus, so the anti-join broadcasts."""
+    flagged = report.select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -14,6 +14,10 @@ analytic miss probability is ~1e-5 and the pipeline is deterministic,
 so the check is stable.) SimHash has no cross-engine hash, so its
 oracle query pins the hamming=0 retrieval to the SQL identical-text
 pair set; the banded hamming<=3 behavior is property-tested in pytest.
+
+dd_decontaminate exercises the cross-corpus contamination operator
+(exact + near leaks of a held-out eval set) against a text-equality
+join plus the same exhaustive-Jaccard construction.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tdigest_spark.operators.dedup import (
     connected_components,
+    decontaminate,
     exact_dedup,
     jaccard_verify,
     minhash_dedup_pairs,
@@ -72,27 +77,64 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total.join(kept, "lang")
 
 
-def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates, exact-Jaccard verified at >= 0.5."""
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Jaccard surfaces in one driver row (consolidates round-3's
+    dd_minhash_pairs + dd_ngram_jaccard_known_pairs under the 50-row
+    budget — same corpus, same pair schema, tagged by ``src``):
+    ``lsh`` = MinHash+LSH candidates exact-Jaccard verified at >= 0.5;
+    ``known`` = exact n-gram Jaccard on the known (original, near-dup)
+    pairs, verifying the verification operator itself against SQL."""
     corpus = _augmented(spark, sf_dir)
-    pairs = minhash_dedup_pairs(
+    lsh = minhash_dedup_pairs(
         corpus, "doc_id", "text", threshold=0.5, shingle_k=3, n_hashes=64, bands=16
+    ).select(
+        F.lit("lsh").alias("src"), "id_a", "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-
-
-def dd_ngram_jaccard_known_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on the known (original, near-dup) pairs —
-    verifies the verification operator itself against SQL."""
-    corpus = _augmented(spark, sf_dir)
     sh = shingles(corpus, "doc_id", "text", 3)
     known = corpus.where(F.col("doc_id") % 7 == 0).where(
         F.col("doc_id") < 100000
     ).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
     )
-    return jaccard_verify(known, sh, "doc_id").select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    kv = jaccard_verify(known, sh, "doc_id").select(
+        F.lit("known").alias("src"), "id_a", "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+    return lsh.unionAll(kv)
+
+
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination report: the corpus is the raw
+    documents table; the held-out eval set plants three slices —
+    exact leaks (copies of ``doc_id % 17``), near leaks (``doc_id %
+    11`` with a 3-token suffix), and genuinely unseen items
+    (``doc_id % 19``, synthetic text) that must NOT be flagged.
+    Oracle: text-equality join for the exact kind, exhaustive shingle
+    Jaccard for the near kind."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    heldout = (
+        docs.where(F.col("doc_id") % 17 == 0)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat("text", F.lit(" eval suffix tokens")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 700000).alias("doc_id"),
+                F.concat(
+                    F.lit("unseen benchmark prompt number "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    report = decontaminate(docs, heldout, threshold=0.5)
+    return report.select(
+        "corpus_id", "heldout_id", "kind", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -135,8 +177,8 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dd_exact_dedup": dd_exact_dedup,
-    "dd_minhash_pairs": dd_minhash_pairs,
-    "dd_ngram_jaccard_known_pairs": dd_ngram_jaccard_known_pairs,
+    "dd_jaccard_pairs": dd_jaccard_pairs,
+    "dd_decontaminate": dd_decontaminate,
     "dd_simhash_exact_pairs": dd_simhash_exact_pairs,
     "dd_dup_clusters": dd_dup_clusters,
 }
@@ -160,7 +202,7 @@ ORACLES = {
                )::BIGINT AS survivor_id_sum
         FROM corpus c GROUP BY c.lang
     """,
-    "dd_minhash_pairs": f"""
+    "dd_jaccard_pairs": f"""
         WITH corpus AS ({_AUG_SQL}),
         sh AS ({_SHINGLE_SQL}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -168,33 +210,82 @@ ORACLES = {
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(c / (na.n + nb.n - c), 4) AS jaccard
-        FROM inter
-        JOIN sizes na ON na.doc_id = id_a
-        JOIN sizes nb ON nb.doc_id = id_b
-        WHERE c / (na.n + nb.n - c) >= 0.5
-    """,
-    "dd_ngram_jaccard_known_pairs": f"""
-        WITH corpus AS ({_AUG_SQL}),
-        sh AS ({_SHINGLE_SQL}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ),
         known AS (
           SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
           WHERE doc_id % 7 = 0
         ),
-        inter AS (
+        kinter AS (
           SELECT k.id_a, k.id_b, count(*) AS c
           FROM known k
           JOIN sh a ON a.doc_id = k.id_a
           JOIN sh b ON b.doc_id = k.id_b AND b.s = a.s
           GROUP BY 1, 2
         )
-        SELECT id_a, id_b, round(c / (na.n + nb.n - c), 4) AS jaccard
+        SELECT 'lsh' AS src, id_a, id_b,
+               round(c / (na.n + nb.n - c), 4) AS jaccard
         FROM inter
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= 0.5
+        UNION ALL
+        SELECT 'known' AS src, id_a, id_b,
+               round(c / (na.n + nb.n - c), 4) AS jaccard
+        FROM kinter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+    """,
+    "dd_decontaminate": """
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        heldout AS (
+          SELECT doc_id + 500000 AS heldout_id, text FROM documents
+          WHERE doc_id % 17 = 0
+          UNION ALL
+          SELECT doc_id + 600000, text || ' eval suffix tokens' FROM documents
+          WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT doc_id + 700000, 'unseen benchmark prompt number ' || doc_id
+          FROM documents WHERE doc_id % 19 = 0
+        ),
+        exact AS (
+          SELECT c.doc_id AS corpus_id, h.heldout_id
+          FROM corpus c JOIN heldout h ON c.text = h.text
+        ),
+        csh AS (
+          SELECT DISTINCT doc_id,
+                 unnest([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(toks)-2,1)+1)]) AS s
+          FROM (SELECT doc_id, string_split(text,' ') AS toks FROM corpus)
+        ),
+        hsh AS (
+          SELECT DISTINCT heldout_id,
+                 unnest([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(toks)-2,1)+1)]) AS s
+          FROM (SELECT heldout_id, string_split(text,' ') AS toks FROM heldout)
+        ),
+        nc AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        nh AS (SELECT heldout_id, count(*) AS n FROM hsh GROUP BY heldout_id),
+        inter AS (
+          SELECT c.doc_id AS corpus_id, h.heldout_id, count(*) AS i
+          FROM csh c JOIN hsh h ON c.s = h.s GROUP BY 1, 2
+        ),
+        near AS (
+          SELECT corpus_id, inter.heldout_id,
+                 i / (nc.n + nh.n - i) AS j
+          FROM inter
+          JOIN nc ON nc.doc_id = corpus_id
+          JOIN nh ON nh.heldout_id = inter.heldout_id
+          WHERE i / (nc.n + nh.n - i) >= 0.5
+            AND NOT EXISTS (
+              SELECT 1 FROM exact e
+              WHERE e.corpus_id = inter.corpus_id
+                AND e.heldout_id = inter.heldout_id
+            )
+        )
+        SELECT corpus_id, heldout_id, 'exact' AS kind, 1.0 AS jaccard FROM exact
+        UNION ALL
+        SELECT corpus_id, heldout_id, 'near' AS kind, round(j, 4) AS jaccard
+        FROM near
     """,
     "dd_dup_clusters": f"""
         WITH RECURSIVE

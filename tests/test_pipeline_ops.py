@@ -506,3 +506,69 @@ def test_exact_dedup_nested_negative_zero_and_map_rejection(spark):
     df3 = df2.withColumn("m", F.create_map(F.lit("k"), F.col("v")))
     with pytest.raises(ValueError, match="map-typed"):
         exact_dedup(df3, ["m"], "id")
+
+
+# ------------------------------------------------------- decontamination
+
+def test_decontaminate_report_and_clean(spark, docs):
+    from tdigest_spark.operators.dedup import apply_decontamination, decontaminate
+
+    heldout = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 60_000).alias("doc_id"),
+                F.concat("text", F.lit(" tail token add")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 70_000).alias("doc_id"),
+                F.concat(
+                    F.lit("unseen benchmark prompt number "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    report = decontaminate(docs, heldout, threshold=0.5).cache()
+    rows = report.collect()
+
+    exact = {(r["corpus_id"], r["heldout_id"]) for r in rows if r["kind"] == "exact"}
+    expected_exact = {
+        (r["doc_id"], r["doc_id"] + 50_000)
+        for r in docs.where(F.col("doc_id") % 4 == 0).collect()
+    }
+    assert exact == expected_exact
+
+    near = {(r["corpus_id"], r["heldout_id"]) for r in rows if r["kind"] == "near"}
+    expected_near = {
+        (r["doc_id"], r["doc_id"] + 60_000)
+        for r in docs.where(F.col("doc_id") % 5 == 0).collect()
+    }
+    # every planted near leak is found; extras are legitimate — the
+    # documents table ships natural near-dup pairs (a doc similar to a
+    # leaked doc is itself contaminated), all >= threshold by the
+    # operator's exact verification (range-checked below) and
+    # exhaustively cross-checked in the dd_decontaminate oracle row
+    assert expected_near <= near
+    # exact pairs carry jaccard 1.0; near pairs a genuine (0, 1) value
+    for r in rows:
+        if r["kind"] == "exact":
+            assert r["jaccard"] == 1.0
+        else:
+            assert 0.5 <= r["jaccard"] < 1.0
+    # fresh eval items (no corpus counterpart) are never flagged
+    assert not [r for r in rows if r["heldout_id"] >= 70_000]
+
+    clean = apply_decontamination(docs, report)
+    flagged_ids = {cid for cid, _ in exact | near}
+    assert clean.count() == docs.count() - len(flagged_ids)
+    assert clean.where(F.col("doc_id").isin(list(flagged_ids))).count() == 0
+
+    # the heldout side must broadcast: corpus never sits on the build
+    # side of the candidate or verify joins
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    report.unpersist()
