@@ -754,6 +754,84 @@ def filter_percentile_range(
     return out if keep_rank else out.drop(rank)
 
 
+def with_equidepth_bucket(
+    rows: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    by: Sequence[str] = (),
+    digests: DataFrame | None = None,
+    bucket_col: str = "bucket",
+    delta: int = 200,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Equal-frequency bucket id (0..n_buckets-1) per row from its
+    group's digest quantiles — the balanced-output primitive: bucket on
+    a size column before ``write.partitionBy(bucket)`` and every output
+    partition carries ~1/n of the rows no matter how skewed the value
+    is; same trick gives a skew-free range partitioning for sorted
+    writes without ``repartitionByRange``'s extra sampling scan.
+
+    Bucket boundaries are the digest's i/n quantiles: bucket i covers
+    (cut_i-1, cut_i], so ties land in one bucket (value-based split —
+    equal counts up to tie mass and digest error; exact at lossless
+    delta up to interpolation). NULL/NaN values, and rows whose group
+    has no digest, get a NULL bucket.
+
+    Scale shape: the digest table is O(groups x delta) — collected
+    once (bounded, same regime note as :func:`with_percentile_rank`),
+    reduced driver-side to O(groups x n_buckets) cut arrays, and either
+    inlined as a literal (global) or broadcast-joined (grouped); the
+    assignment itself is a pure codegen array scan — NO Python stage
+    touches the rows, the plan stays whole-stage-codegen, and the rows
+    are never shuffled. Pass a precomputed ``digests`` table to skip
+    the build scan entirely (e.g. the same digests already maintained
+    by a :func:`~tdigest_spark.streaming.digest_stream.digest_sink`).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    by = list(by)
+    if digests is None:
+        digests = tdigest_agg(rows, value_col, by=by, delta=delta, digest_col=digest_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts: dict[tuple, list[float]] = {}
+    for r in digests.select(*by, digest_col).collect():
+        if r[digest_col] is None:
+            continue
+        d = TDigest.from_row(r[digest_col].asDict())
+        cuts[tuple(r[c] for c in by)] = [float(d.quantile(q)) for q in qs]
+
+    v = F.col(value_col).cast("double")
+    null_v = v.isNull() | F.isnan(v)
+
+    def assign(arr):
+        return F.size(F.filter(arr, lambda c: v > c))
+
+    if not by:
+        arr = (
+            F.array(*[F.lit(c) for c in next(iter(cuts.values()))]).cast(
+                "array<double>"
+            )
+            if cuts
+            else F.lit(None).cast("array<double>")
+        )
+        return rows.withColumn(
+            bucket_col, F.when(~null_v, assign(arr)).otherwise(F.lit(None))
+        )
+
+    spark = rows.sparkSession
+    cut_schema = T.StructType(
+        [rows.schema[c] for c in by]
+        + [T.StructField("__cuts", T.ArrayType(T.DoubleType()), False)]
+    )
+    cuts_df = spark.createDataFrame(
+        [(*k, v_) for k, v_ in cuts.items()], cut_schema
+    )
+    out = rows.join(F.broadcast(cuts_df), by, "left").withColumn(
+        bucket_col, F.when(~null_v, assign(F.col("__cuts"))).otherwise(F.lit(None))
+    )
+    return out.drop("__cuts")
+
+
 def _null_nan_key(key: tuple) -> tuple:
     """canon_key plus None -> NaN-sentinel: a NULL numeric group key
     collects as None on the driver but surfaces as float NaN in a

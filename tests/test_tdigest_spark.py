@@ -694,3 +694,51 @@ def test_filter_percentile_range(spark, events):
 
     with pytest.raises(ValueError, match="lo <= hi"):
         filter_percentile_range(events, dig, "value", 0.9, 0.1, by=["event_type"])
+
+
+def test_with_equidepth_bucket(spark, events):
+    """Equi-depth bucketing at lossless delta: per-row assignment equals
+    numpy searchsorted on exact linear-interpolated quantile cuts;
+    buckets are balanced; NULL/NaN and missing-group rows get NULL; the
+    row path is pure codegen (no Python stage, grouped case broadcast)."""
+    from tdigest_spark.operators.digest_agg import with_equidepth_bucket
+
+    k = 8
+    out = with_equidepth_bucket(events, "value", k, delta=LOSSLESS)
+    pdf = out.select("event_id", "value", "bucket").toPandas()
+    vals = pdf["value"].to_numpy()
+    cuts = np.quantile(vals, [i / k for i in range(1, k)])  # == quantile_cont
+    want = np.searchsorted(cuts, vals, side="left")  # = |{c : c < v}|
+    np.testing.assert_array_equal(pdf["bucket"].to_numpy(), want)
+    # balance: continuous doubles -> each bucket within +-2 of n/k
+    counts = pdf.groupby("bucket").size()
+    assert set(counts.index) == set(range(k))
+    assert (abs(counts - len(pdf) / k) <= 2).all()
+
+    # grouped: same property per group, via a broadcast join, no Python
+    gout = with_equidepth_bucket(events, "value", 4, by=["event_type"], delta=LOSSLESS)
+    gpdf = gout.select("event_type", "value", "bucket").toPandas()
+    for _, g in gpdf.groupby("event_type"):
+        gcuts = np.quantile(g["value"].to_numpy(), [0.25, 0.5, 0.75])
+        np.testing.assert_array_equal(
+            g["bucket"].to_numpy(),
+            np.searchsorted(gcuts, g["value"].to_numpy(), side="left"),
+        )
+    plan = gout._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+    # NULL value, NaN value, and a group absent from the digest table
+    src = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("a", float("nan")), ("zz", 5.0)],
+        "grp string, value double",
+    )
+    dig = tdigest_agg(src.where(F.col("grp") == "a"), "value", by=["grp"], delta=LOSSLESS)
+    res = with_equidepth_bucket(src, "value", 2, by=["grp"], digests=dig)
+    rows = {(r["grp"], r["value"]): r["bucket"] for r in res.collect()}
+    assert rows[("a", 1.0)] == 0 and rows[("a", 2.0)] == 1
+    assert rows[("a", None)] is None
+    assert rows[("zz", 5.0)] is None
+    nan_buckets = [r["bucket"] for r in res.collect() if r["value"] != r["value"] and r["value"] is not None]
+    assert nan_buckets == [None]
