@@ -77,6 +77,18 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total.join(kept, "lang")
 
 
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified at >= 0.5. Not a
+    registry entry since the dd_jaccard_pairs consolidation — kept as
+    THE bench.py near-dup workload (unchanged since round 1, so the
+    per-round BENCH numbers stay comparable)."""
+    corpus = _augmented(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, shingle_k=3, n_hashes=64, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Jaccard surfaces in one driver row (consolidates round-3's
     dd_minhash_pairs + dd_ngram_jaccard_known_pairs under the 50-row
