@@ -17,15 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 # 61 — both exactly 50, a hard count cap), so round 3 consolidated the
 # registry to exactly 50 queries with no loss of operator coverage (merged
 # same-operator queries; see each family's docstrings) — EVERY
-# registered query now fits the cap. Late round 3 swapped one slot:
-# td_cdf_probe_events folded into td_stats_events (same digest, same
-# table) to admit dr_drift_events (the drift-metric family) while
-# staying at exactly 50. Order still matters as a hedge: families with
-# NO driver row yet (drift) or the oldest green signal (dedup,
-# similarity) go FIRST, the thrice-verified cheap tdigest family last,
-# so any residual budget cut lands on the queries with the freshest
-# prior evidence.
+# registered query now fits the cap. Late round 3 swapped slots three
+# times (still exactly 50 each time): td_cdf_probe_events folded into
+# td_stats_events to admit dr_drift_events; dd_minhash_pairs +
+# dd_ngram_jaccard_known_pairs merged into dd_jaccard_pairs to admit
+# dd_decontaminate; td_p99_compressed folded into
+# td_histogram_mass_events and td_sliding_events + td_windowed_events
+# merged into td_windows_events to admit ss_sessions_events
+# (sessionization) and eq_rank_bucket_lineitem (per-row digest
+# scoring). Order still matters as a hedge: families with the freshest
+# unverified queries (session, rowscore, drift) or the oldest green
+# signal (dedup, similarity) go FIRST, the thrice-verified cheap
+# tdigest family last, so any residual budget cut lands on the queries
+# with the freshest prior evidence.
 _FAMILIES = (
+    "session_q",
+    "rowscore_q",
     "drift_q",
     "dedup_q",
     "similarity_q",

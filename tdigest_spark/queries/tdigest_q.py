@@ -6,7 +6,7 @@ operating point of the sketch) so the DuckDB oracle comparison is an
 exact value-hash match; approximate operation at real compression
 levels is covered by rank-error pytest assertions
 (tests/test_tdigest_core.py, tests/test_tdigest_spark.py) and by the
-bound-boolean `td_p99_compressed` query below.
+bound-boolean half of `td_histogram_mass_events` below.
 
 Float outputs are rounded identically on both sides (driver hashes
 values; see SURVEY.md §5).
@@ -118,13 +118,23 @@ def td_merge_engines_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram invariants projected to SQL-checkable facts: total bin
-    mass == count, bin range == [min, max]."""
+    """Histogram invariants (lossless digest) joined with the REAL
+    compression level's rank-error booleans (delta=100) — one driver
+    row for both post-processing surfaces over the same table
+    (consolidates round-3's td_histogram_mass_events +
+    td_p99_compressed under the 50-row driver cap).
+
+    Histogram half: total bin mass == count, bin range == [min, max].
+    Compressed half: the exact rank of each delta=100 estimate is
+    computed with Spark built-ins and asserted within the published
+    O(1/delta) rank-error bound as a boolean (the DuckDB oracle emits
+    the same exact facts + literal true, so a bound violation IS a
+    hash mismatch)."""
     from tdigest_spark.operators.digest_agg import tdigest_histogram
 
     dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
     h = tdigest_histogram(dig)
-    return (
+    hist = (
         h.select(
             "event_type",
             F.aggregate("histogram", F.lit(0.0), lambda acc, b: acc + b["weight"])
@@ -134,15 +144,10 @@ def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("histogram", -1)["hi"], 4).alias("hi"),
         )
     )
+    return hist.join(_p99_rank_bounds(spark, sf_dir), "event_type")
 
 
-def td_p99_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real compression level (delta=100), oracle-checked the way the
-    approximate sketches are: the exact rank of each estimate is
-    computed with Spark built-ins and asserted within the published
-    O(1/delta) rank-error bound as a boolean (DuckDB oracle emits the
-    same exact count + literal true, so a bound violation IS a hash
-    mismatch)."""
+def _p99_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     dig = tdigest_agg(ev, "value", by=["event_type"], delta=100)
     est = tdigest_stats(dig, {"p50": ("quantile", 0.5), "p99": ("quantile", 0.99)})
@@ -202,20 +207,53 @@ def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
-def td_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 7d/1d windows via the PANE architecture: rows aggregate
-    once into daily pane digests, panes fan out to their 7 covering
-    windows and merge JVM-side — no raw-row duplication (vs the 7x
-    explode of groupBy(window(ts, 7d, 1d))). Lossless -> hash-matches
-    the exploded SQL sliding window exactly."""
+def td_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH time-window digest shapes over events in one driver row
+    (consolidates round-3's td_sliding_events + td_windowed_events
+    under the 50-row driver cap), tagged by ``wkind``:
+
+    * ``slide7d`` — sliding 7d/1d windows via the PANE architecture:
+      rows aggregate once into daily pane digests, panes fan out to
+      their 7 covering windows and merge JVM-side — no raw-row
+      duplication (vs the 7x explode of groupBy(window(ts, 7d, 1d))).
+    * ``tumble1d`` — event-time tumbling day windows: per
+      (event_type, day) quantiles, the time-bucketed rollup shape of a
+      metrics pipeline.
+
+    Lossless -> both hash-match their exact SQL forms."""
     from tdigest_spark.operators.digest_agg import tdigest_sliding
 
     ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
-    out = tdigest_sliding(
+    slid = tdigest_sliding(
         ev, "value", "ts", 7 * 86400, 86400, by=["event_type"], delta=LOSSLESS
     )
-    stats = tdigest_stats(out, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
-    return _round(stats, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+    s_stats = tdigest_stats(slid, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    s_out = (
+        _round(s_stats, {"p50": 4})
+        .withColumn("n", F.col("n").cast("long"))
+        .select(
+            F.lit("slide7d").alias("wkind"),
+            F.col("window_start").alias("ws"),
+            "event_type",
+            "p50",
+            "n",
+        )
+    )
+    tumb = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+    t_dig = tdigest_agg(tumb, "value", by=["event_type", "day"], delta=LOSSLESS)
+    t_stats = tdigest_stats(t_dig, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    t_out = (
+        _round(t_stats, {"p50": 4})
+        .withColumn("n", F.col("n").cast("long"))
+        .select(
+            F.lit("tumble1d").alias("wkind"),
+            F.col("day").alias("ws"),
+            "event_type",
+            "p50",
+            "n",
+        )
+    )
+    return s_out.unionByName(t_out)
 
 
 def td_sql_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,17 +277,6 @@ def td_sql_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __td_sql_digests
         """
     )
-
-
-def td_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time windowed digests: per (event_type, day) quantiles —
-    the time-bucketed rollup shape of a metrics pipeline."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "day", F.date_trunc("day", F.col("ts"))
-    )
-    dig = tdigest_agg(ev, "value", by=["event_type", "day"], delta=LOSSLESS)
-    out = tdigest_stats(dig, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
-    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
 
 
 def td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,12 +431,10 @@ QUERIES = {
     "td_quantiles_lineitem": td_quantiles_lineitem,
     "td_merge_engines_events": td_merge_engines_events,
     "td_histogram_mass_events": td_histogram_mass_events,
-    "td_p99_compressed": td_p99_compressed,
     "td_rollup_lineitem": td_rollup_lineitem,
     "td_cube_lineitem": td_cube_lineitem,
     "td_sql_surface_events": td_sql_surface_events,
-    "td_sliding_events": td_sliding_events,
-    "td_windowed_events": td_windowed_events,
+    "td_windows_events": td_windows_events,
     "td_weighted_lineitem": td_weighted_lineitem,
     "td_fused_stats_events": td_fused_stats_events,
     "td_mad_events": td_mad_events,
@@ -468,7 +493,8 @@ ORACLES = {
     """,
     "td_histogram_mass_events": """
         SELECT event_type, count(value) AS mass,
-               round(min(value), 4) AS lo, round(max(value), 4) AS hi
+               round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+               count(value) AS n, true AS p50_ok, true AS p99_ok
         FROM events GROUP BY event_type
     """,
     "td_rollup_lineitem": """
@@ -478,17 +504,22 @@ ORACLES = {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
-    "td_sliding_events": """
+    "td_windows_events": """
         WITH r AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
         e AS (SELECT unnest(generate_series(0, 6)) AS i, t, event_type, value
               FROM r),
         w AS (SELECT (t // 86400000000) * 86400000000 - i * 86400000000 AS ws,
                      event_type, value
               FROM e)
-        SELECT make_timestamp(ws) AS window_start, event_type,
+        SELECT 'slide7d' AS wkind, make_timestamp(ws) AS ws, event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
                count(value) AS n
-        FROM w GROUP BY 1, 2
+        FROM w GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'tumble1d' AS wkind, date_trunc('day', ts) AS ws, event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               count(value) AS n
+        FROM events GROUP BY 1, 2, 3
     """,
     "td_sql_surface_events": """
         SELECT event_type,
@@ -503,12 +534,6 @@ ORACLES = {
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    "td_windowed_events": """
-        SELECT event_type, date_trunc('day', ts) AS day,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               count(value) AS n
-        FROM events GROUP BY event_type, date_trunc('day', ts)
     """,
     "td_weighted_lineitem": """
         WITH p AS (
@@ -535,11 +560,6 @@ ORACLES = {
                true AS wq25_ok, true AS wq50_ok, true AS wq75_ok
         FROM lineitem l JOIN p USING (l_returnflag)
         GROUP BY l.l_returnflag
-    """,
-    "td_p99_compressed": """
-        SELECT event_type, count(value) AS n,
-               true AS p50_ok, true AS p99_ok
-        FROM events GROUP BY event_type
     """,
     "td_highcard_sql_build_lineitem": """
         WITH g AS (
