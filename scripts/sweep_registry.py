@@ -18,9 +18,13 @@ count or order.
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+# Spark PYTHON WORKERS do not inherit the driver's sys.path — they
+# need the env var before the session starts
+os.environ["PYTHONPATH"] = "/root/repo:" + os.environ.get("PYTHONPATH", "")
 
 
 def _norm(df):

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 # td_histogram_mass_events and td_sliding_events + td_windowed_events
 # merged into td_windows_events to admit ss_sessions_events
 # (sessionization) and eq_rank_bucket_lineitem (per-row digest
-# scoring). Order still matters as a hedge: families with the freshest
+# scoring); wp_invariant_extract folded into wp_textlen_quantiles to
+# admit aj_asof_enrich_events (as-of join vs DuckDB's native ASOF
+# JOIN). Order still matters as a hedge: families with the freshest
 # unverified queries (session, rowscore, drift) or the oldest green
 # signal (dedup, similarity) go FIRST, the thrice-verified cheap
 # tdigest family last, so any residual budget cut lands on the queries
@@ -33,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 _FAMILIES = (
     "session_q",
     "rowscore_q",
+    "asof_q",
     "drift_q",
     "dedup_q",
     "similarity_q",

@@ -21,14 +21,16 @@ N_DOCS = 20_000  # correctness scale; bench runs 1M+ (jobs/webpages.py)
 LOSSLESS = 1_000_000
 
 
-def wp_invariant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row invariant: text extracted from html is byte-identical to
-    the text column, for every url (input_hint's parity requirement)."""
-    pages = synth_webpages(spark, N_DOCS)
+def _invariant_facts(pages: DataFrame) -> DataFrame:
+    """Global extraction invariants: text extracted from html is
+    byte-identical to the text column, for every url (input_hint's
+    parity requirement). One row; cross-joined onto the per-lang
+    quantiles (consolidated from round-1's wp_invariant_extract under
+    the 50-row driver cap)."""
     return pages.agg(
-        F.count("*").alias("n_docs"),
-        F.sum((extract_text("html") == F.col("text")).cast("long")).alias("n_exact"),
-        F.countDistinct("url").alias("n_urls"),
+        F.count("*").alias("g_docs"),
+        F.sum((extract_text("html") == F.col("text")).cast("long")).alias("g_exact"),
+        F.countDistinct("url").alias("g_urls"),
     )
 
 
@@ -63,31 +65,23 @@ def wp_textlen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs": ("total_weight",),
         },
     )
-    return (
+    out = (
         out.withColumn("n_docs", F.col("n_docs").cast("long"))
         .withColumn("p50", F.round("p50", 4))
         .withColumn("p99", F.round("p99", 4))
         .withColumn("p999", F.round("p999", 4))
     )
+    return out.crossJoin(F.broadcast(_invariant_facts(pages)))
 
 
 _DUCK = webpages_sql_duckdb(N_DOCS)
 
 QUERIES = {
-    "wp_invariant_extract": wp_invariant_extract,
     "wp_lang_token_stats": wp_lang_token_stats,
     "wp_textlen_quantiles": wp_textlen_quantiles,
 }
 
 ORACLES = {
-    "wp_invariant_extract": f"""
-        WITH pages AS ({_DUCK})
-        SELECT count(*) AS n_docs,
-               sum(CASE WHEN regexp_extract(decode(html), '<p>(.*)</p>', 1) = text
-                        THEN 1 ELSE 0 END)::BIGINT AS n_exact,
-               count(DISTINCT url) AS n_urls
-        FROM pages
-    """,
     "wp_lang_token_stats": f"""
         WITH pages AS ({_DUCK})
         SELECT lang, count(*) AS n_docs,
@@ -105,7 +99,15 @@ ORACLES = {
                round(quantile_cont(length(text)::DOUBLE, 0.5), 4) AS p50,
                round(quantile_cont(length(text)::DOUBLE, 0.99), 4) AS p99,
                round(quantile_cont(length(text)::DOUBLE, 0.999), 4) AS p999,
-               count(*) AS n_docs
-        FROM pages GROUP BY lang
+               count(*) AS n_docs,
+               g_docs, g_exact, g_urls
+        FROM pages CROSS JOIN (
+          SELECT count(*) AS g_docs,
+                 sum(CASE WHEN regexp_extract(decode(html), '<p>(.*)</p>', 1) = text
+                          THEN 1 ELSE 0 END)::BIGINT AS g_exact,
+                 count(DISTINCT url) AS g_urls
+          FROM pages
+        ) inv
+        GROUP BY lang, g_docs, g_exact, g_urls
     """,
 }
