@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 # (sessionization) and eq_rank_bucket_lineitem (per-row digest
 # scoring); wp_invariant_extract folded into wp_textlen_quantiles to
 # admit aj_asof_enrich_events (as-of join vs DuckDB's native ASOF
-# JOIN). Order still matters as a hedge: families with the freshest
+# JOIN); sk_hll_global_events folded into sk_hll_rollup_docs to admit
+# rj_value_bands_events (range join vs DuckDB inequality join). Order
+# still matters as a hedge: families with the freshest
 # unverified queries (session, rowscore, drift) or the oldest green
 # signal (dedup, similarity) go FIRST, the thrice-verified cheap
 # tdigest family last, so any residual budget cut lands on the queries
@@ -36,6 +38,7 @@ _FAMILIES = (
     "session_q",
     "rowscore_q",
     "asof_q",
+    "range_q",
     "drift_q",
     "dedup_q",
     "similarity_q",

@@ -170,28 +170,29 @@ def sk_hll_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sketch_merge_agg``) — the checkpoint-table rollup pattern at
     100 TB. Estimate asserted within the 3-sigma HLL bound. (Subsumes
     round-2's sk_hll_distinct_docs: the rolled-up per-lang estimate IS
-    the per-group distinct, checked against the same exact counts.)"""
+    the per-group distinct, checked against the same exact counts.
+    Also carries the GLOBAL ungrouped HLL over events.user_id as
+    cross-joined `g_users`/`g_est_ok` columns — round-2's
+    sk_hll_global_events, consolidated under the 50-row driver cap.)"""
     docs = load(spark, sf_dir, "documents")
     fine = sketch_build(docs, {"h": ("hll", "text", _HLL_P)}, by=["lang", "source"])
     rolled = sketch_merge_agg(fine, {"h": "hll"}, by=["lang"])
     est = sketch_estimates(rolled, {"nd": ("hll_estimate", "h")})
     exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
-    return est.join(exact, "lang").select(
+    out = est.join(exact, "lang").select(
         "lang",
         "exact_distinct",
         (F.abs(F.col("nd") / F.col("exact_distinct") - 1) < _HLL_3SIG).alias("est_ok"),
     )
-
-
-def sk_hll_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     built = sketch_build(ev, {"h": ("hll", "user_id", _HLL_P)})
-    est = sketch_estimates(built, {"est": ("hll_estimate", "h")})
-    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
-    return est.crossJoin(exact).select(
-        "exact_users",
-        (F.abs(F.col("est") / F.col("exact_users") - 1) < _HLL_3SIG).alias("est_ok"),
+    gest = sketch_estimates(built, {"est": ("hll_estimate", "h")})
+    gexact = ev.agg(F.countDistinct("user_id").alias("g_users"))
+    glob = gest.crossJoin(gexact).select(
+        "g_users",
+        (F.abs(F.col("est") / F.col("g_users") - 1) < _HLL_3SIG).alias("g_est_ok"),
     )
+    return out.crossJoin(F.broadcast(glob))
 
 
 def sk_topk_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +253,6 @@ QUERIES = {
     "sk_kll_weighted_cdf_lineitem": sk_kll_weighted_cdf_lineitem,
     "sk_cms_source_counts": sk_cms_source_counts,
     "sk_cms_grouped_lineitem": sk_cms_grouped_lineitem,
-    "sk_hll_global_events": sk_hll_global_events,
     "sk_hll_rollup_docs": sk_hll_rollup_docs,
     "sk_topk_sources_by_lang": sk_topk_sources_by_lang,
 }
@@ -307,13 +307,13 @@ ORACLES = {
         SELECT lang, source, count(*) AS exact_count, true AS cms_ok
         FROM documents GROUP BY lang, source
     """,
-    "sk_hll_global_events": """
-        SELECT count(DISTINCT user_id) AS exact_users, true AS est_ok
-        FROM events
-    """,
     "sk_hll_rollup_docs": """
-        SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok
-        FROM documents GROUP BY lang
+        SELECT lang, count(DISTINCT text) AS exact_distinct, true AS est_ok,
+               g_users, true AS g_est_ok
+        FROM documents CROSS JOIN (
+          SELECT count(DISTINCT user_id) AS g_users FROM events
+        ) g
+        GROUP BY lang, g_users
     """,
     "sk_topk_sources_by_lang": """
         SELECT lang, source, cnt, rank FROM (
