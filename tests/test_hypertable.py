@@ -1,0 +1,111 @@
+"""Hypertable rollup: incremental ingests == one-shot build, replay
+idempotence, untouched buckets byte-identical, coarser-window merge
+== direct build, window validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
+from tdigest_spark.operators.hypertable import (
+    hypertable_upsert,
+    hypertable_window_stats,
+)
+from tdigest_spark.sources.tables import load
+
+LOSSLESS = 1_000_000
+DAY = 86_400
+
+
+def _stats_map():
+    return {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+
+
+def test_incremental_equals_one_shot_and_replay(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cut = ev.agg(F.expr("percentile_approx(cast(ts as timestamp), 0.5)")).collect()[0][0]
+    early = ev.filter(F.col("ts").cast("timestamp") <= F.lit(cut))
+    late = ev.filter(F.col("ts").cast("timestamp") > F.lit(cut))
+    table = str(tmp_path / "rollup")
+    assert hypertable_upsert(
+        early, "value", "ts", DAY, table, by=["event_type"], delta=LOSSLESS
+    ) == 0
+    import json
+
+    def row_key(r):
+        d = r.asDict(recursive=True)
+        return (
+            d["bucket_start"].timestamp(),
+            json.dumps(d, sort_keys=True, default=str),
+        )
+
+    before = {row_key(r) for r in spark.read.parquet(table).collect()}
+    assert hypertable_upsert(
+        late, "value", "ts", DAY, table, by=["event_type"], delta=LOSSLESS
+    ) == 1
+    # replaying ingest 1 is a committed no-op
+    assert (
+        hypertable_upsert(
+            late, "value", "ts", DAY, table, by=["event_type"],
+            delta=LOSSLESS, ingest_id=1,
+        )
+        is None
+    )
+    got = hypertable_window_stats(
+        spark, table, DAY, DAY, _stats_map(), by=["event_type"]
+    )
+    direct = tdigest_stats(
+        tdigest_agg(
+            ev.withColumn(
+                "window_start",
+                F.to_timestamp(
+                    F.floor(F.col("ts").cast("timestamp").cast("double") / DAY) * DAY
+                ),
+            ),
+            "value",
+            by=["window_start", "event_type"],
+            delta=LOSSLESS,
+        ),
+        _stats_map(),
+    )
+    g = {(r.window_start, r.event_type): (round(r.p50, 6), r.n) for r in got.collect()}
+    d = {(r.window_start, r.event_type): (round(r.p50, 6), r.n) for r in direct.collect()}
+    assert g == d
+    # untouched buckets from ingest 0 (strictly before the cut's day)
+    # survive ingest 1 byte-identical
+    after = {row_key(r) for r in spark.read.parquet(table).collect()}
+    cut_day_start = int(cut.timestamp() // DAY) * DAY
+    untouched_before = {r for r in before if r[0] < cut_day_start}
+    assert untouched_before and untouched_before <= after
+
+
+def test_coarser_window_merge_equals_direct(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    table = str(tmp_path / "rollup2")
+    hypertable_upsert(ev, "value", "ts", DAY, table, delta=LOSSLESS)
+    got = hypertable_window_stats(spark, table, DAY, 2 * DAY, _stats_map())
+    direct = tdigest_stats(
+        tdigest_agg(
+            ev.withColumn(
+                "window_start",
+                F.to_timestamp(
+                    F.floor(F.col("ts").cast("timestamp").cast("double") / (2 * DAY))
+                    * (2 * DAY)
+                ),
+            ),
+            "value",
+            by=["window_start"],
+            delta=LOSSLESS,
+        ),
+        _stats_map(),
+    )
+    g = {r.window_start: (round(r.p50, 6), r.n) for r in got.collect()}
+    d = {r.window_start: (round(r.p50, 6), r.n) for r in direct.collect()}
+    assert g == d and len(g) > 1
+
+
+def test_window_must_be_bucket_multiple(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    table = str(tmp_path / "rollup3")
+    hypertable_upsert(ev, "value", "ts", DAY, table)
+    with pytest.raises(ValueError, match="multiple"):
+        hypertable_window_stats(spark, table, DAY, DAY + 1, _stats_map())
