@@ -452,6 +452,14 @@ def run_scaling(
         # Arrow-transfer floor. e2e sec_hi ~= this floor means the e2e
         # capture is IPC-floor-bound (host contention), not engine-bound
         "arrow_floor_sec_hi_per_round": floor_hi,
+        # True when the floor probe NEVER cleared its good-window gate
+        # in any round: every e2e leg then measured the host's Arrow
+        # IPC stall, not the engine — read efficiency_process_parallel
+        # (per-process, no shared JVM, no Arrow pipe) as the scaling
+        # figure of record for such a capture
+        "e2e_floor_stalled": bool(
+            min(floor_hi) > FLOOR_GOOD_SEC * rows / SCALE_ROWS
+        ),
         "efficiency_process_parallel": kernel["efficiency"],
         "kernel": kernel,
     }
