@@ -47,6 +47,7 @@ __all__ = [
     "cms_probe",
     "cms_grouped_build",
     "cms_grouped_probe",
+    "cms_join_size",
     "sketch_agg",
     "hll_overlap",
     "kmv_samples",
@@ -801,6 +802,59 @@ def cms_grouped_probe(
     keyed = probes.withColumn("__gk", _composite_key([*by, key_col]))
     return cms_probe(keyed, sketches, "__gk", sketch_col, by=(), out_col=out_col).drop(
         "__gk"
+    )
+
+
+def cms_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    eps: float = 0.001,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Equi-join SIZE estimate without running the join: each side is
+    reduced to ONE global count-min blob (a map-side-combined scan, no
+    shuffle of the keys), and the join cardinality
+    ``sum_k f_a(k) * f_b(k)`` is read off the blobs' row-wise dot
+    product (Cormode-Muthukrishnan 2005 Thm 3) — the cardinality
+    estimator a planner wants before committing 100 TB to a shuffle
+    strategy. One-sided like the point query: ``est >= true`` and
+    ``est <= true + eps * N_a * N_b`` with prob 1 - delta (size
+    ``eps`` against the PRODUCT of the stream lengths). Grouped join
+    keys compose via the same (group, key) concatenation as
+    :func:`cms_grouped_build`. Returns one row:
+    ``est, bound, n_a, n_b``."""
+    from tdigest_spark.sketch.cms import CountMin
+
+    sa = sketch_build(
+        a.select(F.col(a_key).cast("string").alias("__k")),
+        {"c": ("cms", "__k", eps, delta)},
+    )
+    sb = sketch_build(
+        b.select(F.col(b_key).cast("string").alias("__k")),
+        {"c": ("cms", "__k", eps, delta)},
+    )
+    ca = CountMin.from_bytes(sa.collect()[0]["c"])
+    cb = CountMin.from_bytes(sb.collect()[0]["c"])
+    schema = T.StructType(
+        [
+            T.StructField("est", T.LongType()),
+            T.StructField("bound", T.DoubleType()),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+        ]
+    )
+    return a.sparkSession.createDataFrame(
+        [
+            (
+                ca.inner_product(cb),
+                float(ca.inner_product_bound(cb)),
+                int(ca.total),
+                int(cb.total),
+            )
+        ],
+        schema,
     )
 
 

@@ -83,6 +83,26 @@ class CountMin:
         """Additive error bound eps*N (holds with prob 1 - delta)."""
         return math.e / self.width * self.total
 
+    def inner_product(self, other: "CountMin") -> int:
+        """Equi-join size estimate: sum_k f_self(k) * f_other(k)
+        (Cormode-Muthukrishnan 2005 Thm 3) = min over rows of the
+        row-wise table dot product. One-sided like the point query:
+        est >= true, and est <= true + eps * N_self * N_other with
+        prob 1 - delta. Both sketches must share geometry (and hence
+        this module's fixed per-row hash family)."""
+        if self.width != other.width or self.depth != other.depth:
+            raise ValueError("count-min geometry mismatch")
+        return int(
+            min(
+                int(np.dot(self.table[r], other.table[r]))
+                for r in range(self.depth)
+            )
+        )
+
+    def inner_product_bound(self, other: "CountMin") -> float:
+        """The eps * N_self * N_other additive overcount bound."""
+        return math.e / self.width * self.total * other.total
+
     # ---------------- wire format ----------------
 
     def to_bytes(self) -> bytes:

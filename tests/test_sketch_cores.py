@@ -316,3 +316,31 @@ def test_kmv_overlap_exact_and_estimated():
 
     with _pytest.raises(ValueError, match="k mismatch"):
         a.overlap(KMV(128))
+
+
+def test_cms_inner_product_join_size():
+    import numpy as np
+
+    from tdigest_spark.sketch.cms import CountMin
+
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 500, 20_000).astype(str)
+    b_keys = rng.integers(0, 500, 5_000).astype(str)
+    ca = CountMin(width=8192, depth=5).add(a_keys)
+    cb = CountMin(width=8192, depth=5).add(b_keys)
+    # exact join size: sum over keys of count_a * count_b
+    ua, na = np.unique(a_keys, return_counts=True)
+    ub, nb = np.unique(b_keys, return_counts=True)
+    true = int(sum(na[list(ua).index(k)] * nb[i] for i, k in enumerate(ub) if k in set(ua)))
+    est = ca.inner_product(cb)
+    assert est >= true  # one-sided, like the point query
+    assert est <= true + ca.inner_product_bound(cb)
+    # disjoint domains: true join size 0, estimate within the bound
+    cd = CountMin(width=8192, depth=5).add(
+        (rng.integers(10_000, 10_500, 5_000)).astype(str)
+    )
+    assert ca.inner_product(cd) <= ca.inner_product_bound(cd)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry"):
+        ca.inner_product(CountMin(width=4096, depth=5))

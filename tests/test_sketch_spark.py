@@ -652,3 +652,18 @@ def test_sketch_sliding_grouped_counts(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_cms_join_size_lineitem_orders(spark, sf_dir):
+    from tdigest_spark.operators.sketch_agg import cms_join_size
+    from tdigest_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    row = cms_join_size(li, "l_orderkey", od, "o_orderkey", eps=1e-4).collect()[0]
+    true = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+    assert row.n_a == li.count() and row.n_b == od.count()
+    assert true <= row.est <= true + row.bound
+    # the estimate is informative, not just the trivial bound: the
+    # overcount is a small fraction of the true size at this width
+    assert row.est - true <= 0.05 * true
