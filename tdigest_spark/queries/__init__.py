@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 # scoring); wp_invariant_extract folded into wp_textlen_quantiles to
 # admit aj_asof_enrich_events (as-of join vs DuckDB's native ASOF
 # JOIN); sk_hll_global_events folded into sk_hll_rollup_docs to admit
-# rj_value_bands_events (range join vs DuckDB inequality join). Order
+# rj_value_bands_events (range join vs DuckDB inequality join);
+# tx_fingerprints folded into tx_token_stats (per-lang checksums) to
+# admit fn_funnel_events (funnel vs the k-way self-join chain). Order
 # still matters as a hedge: families with the freshest
 # unverified queries (session, rowscore, drift) or the oldest green
 # signal (dedup, similarity) go FIRST, the thrice-verified cheap
@@ -39,6 +41,7 @@ _FAMILIES = (
     "rowscore_q",
     "asof_q",
     "range_q",
+    "funnel_q",
     "drift_q",
     "dedup_q",
     "similarity_q",

@@ -15,11 +15,19 @@ LOSSLESS = 4_000_000
 
 
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/subword/char stats per lang, plus the per-doc rolling-hash
+    fingerprints folded to a per-lang sum + distinct census
+    (consolidates round-1's per-doc tx_fingerprints under the 50-row
+    driver cap — any single doc's fingerprint changing flips
+    fp_checksum, so the evidence strength is preserved; fingerprints
+    are mod 2^31, so the BIGINT sum cannot overflow)."""
     docs = with_text_stats(load(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.sum("n_subwords").cast("long").alias("sum_subwords"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("fingerprint").cast("long").alias("fp_checksum"),
+        F.countDistinct("fingerprint").alias("n_fp_distinct"),
     )
 
 
@@ -49,18 +57,10 @@ def tx_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
 
 
-def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc rolling-hash fingerprint (exact cross-engine value) +
-    collision census."""
-    docs = with_text_stats(load(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "fingerprint")
-
-
 QUERIES = {
     "tx_token_stats": tx_token_stats,
     "tx_quality_summary": tx_quality_summary,
     "tx_lang_id_agreement": tx_lang_id_agreement,
-    "tx_fingerprints": tx_fingerprints,
 }
 
 
@@ -99,7 +99,9 @@ ORACLES = {
         SELECT lang,
                sum({_NTOK})::BIGINT AS sum_tokens,
                sum({_NSUB})::BIGINT AS sum_subwords,
-               round(avg(length(text)), 4) AS avg_chars
+               round(avg(length(text)), 4) AS avg_chars,
+               sum({_FP})::BIGINT AS fp_checksum,
+               count(DISTINCT {_FP}) AS n_fp_distinct
         FROM documents GROUP BY lang
     """,
     "tx_quality_summary": f"""
@@ -115,8 +117,5 @@ ORACLES = {
     "tx_lang_id_agreement": f"""
         SELECT lang, {_LANG_GUESS} AS lang_guess, count(*) AS n
         FROM documents GROUP BY lang, lang_guess
-    """,
-    "tx_fingerprints": f"""
-        SELECT doc_id, {_FP} AS fingerprint FROM documents
     """,
 }
