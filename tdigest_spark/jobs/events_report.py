@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from tdigest_spark.operators.digest_agg import tdigest_agg, tdigest_stats
 from tdigest_spark.operators.drift import digest_drift
@@ -39,7 +39,6 @@ DAY = 86_400
 
 
 def events_report(
-    spark: SparkSession,
     events: DataFrame,
     steps: list[str],
     gap_sec: float = 1800.0,
@@ -95,7 +94,7 @@ def main() -> None:
 
     spark = get_spark("events_report")
     events = spark.read.parquet(args.events)
-    report = events_report(spark, events, args.steps.split(","), args.gap_sec)
+    report = events_report(events, args.steps.split(","), args.gap_sec)
     for name, df in report.items():
         if args.out:
             df.write.mode("overwrite").parquet(f"{args.out}/{name}")

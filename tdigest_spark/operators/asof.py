@@ -70,21 +70,31 @@ def asof_join(
     # row is visible at an exact timestamp tie, which is what
     # "at-or-before" (resp. at-or-after) means
     l_tag, r_tag = 1, 0
+    # the whole right row travels as ONE struct so the window fill
+    # cannot mix fields from different right rows (a per-column
+    # last(ignorenulls) would backfill a NULL payload field from an
+    # OLDER row); right rows with NULL timestamps have no position in
+    # time and are dropped
+    r_struct = F.struct(
+        ts.alias("__rts"), *[F.col(c) for c in value_cols]
+    )
+    left_struct_t = left.select(F.struct(*left.columns).alias("s")).schema[
+        "s"
+    ].dataType
+    right_struct_t = right.select(r_struct.alias("s")).schema["s"].dataType
     lhs = left.select(
         *by,
         ts.alias(ts_col),
         F.lit(l_tag).alias("__tag"),
         F.struct(*left.columns).alias("__left"),
-        F.lit(None).cast("timestamp").alias("__rts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(right_struct_t).alias("__right"),
     )
-    rhs = right.select(
+    rhs = right.filter(ts.isNotNull()).select(
         *by,
         ts.alias(ts_col),
         F.lit(r_tag).alias("__tag"),
-        F.lit(None).cast(lhs.schema["__left"].dataType).alias("__left"),
-        ts.alias("__rts"),
-        *value_cols,
+        F.lit(None).cast(left_struct_t).alias("__left"),
+        r_struct.alias("__right"),
     )
     both = lhs.unionByName(rhs)
     order = [F.col(ts_col).asc(), F.col("__tag").asc()]
@@ -102,22 +112,16 @@ def asof_join(
         "__left",
         F.col(ts_col).alias("__lts"),
         F.col("__tag"),
-        F.when(has_ts, F.last("__rts", ignorenulls=True).over(w)).alias(
-            matched_ts_col
-        ),
-        *[
-            F.when(has_ts, F.last(c, ignorenulls=True).over(w)).alias(c)
-            for c in value_cols
-        ],
+        F.when(has_ts, F.last("__right", ignorenulls=True).over(w)).alias("__m"),
     ).filter(F.col("__tag") == l_tag)
     if tolerance_sec is not None:
         gap = F.abs(
-            F.col("__lts").cast("double") - F.col(matched_ts_col).cast("double")
+            F.col("__lts").cast("double") - F.col("__m.__rts").cast("double")
         )
-        ok = F.col(matched_ts_col).isNotNull() & (gap <= F.lit(float(tolerance_sec)))
-        filled = filled.select(
-            "__left",
-            F.when(ok, F.col(matched_ts_col)).alias(matched_ts_col),
-            *[F.when(ok, F.col(c)).alias(c) for c in value_cols],
-        )
-    return filled.select("__left.*", matched_ts_col, *value_cols)
+        ok = F.col("__m").isNotNull() & (gap <= F.lit(float(tolerance_sec)))
+        filled = filled.withColumn("__m", F.when(ok, F.col("__m")))
+    return filled.select(
+        "__left.*",
+        F.col("__m.__rts").alias(matched_ts_col),
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+    )

@@ -43,6 +43,10 @@ def funnel_steps(
     appear (they had SOME funnel event)."""
     if not steps:
         raise ValueError("need at least one funnel step")
+    if len(set(steps)) != len(steps):
+        # array_position maps every event to the FIRST occurrence, so a
+        # repeated step name could never be reached — reject loudly
+        raise ValueError(f"funnel steps must be distinct, got {list(steps)}")
     by = [by] if isinstance(by, str) else list(by)
     k = len(steps)
     step_idx = F.array_position(

@@ -39,6 +39,7 @@ from tdigest_spark.operators.digest_agg import (
 from tdigest_spark.streaming.digest_stream import (
     _commit_snapshot,
     _last_committed_batch,
+    _split_touched,
 )
 
 __all__ = ["hypertable_upsert", "hypertable_window_stats", "time_bucket"]
@@ -86,9 +87,10 @@ def hypertable_upsert(
         new = new.localCheckpoint(eager=True)
         old = spark.read.parquet(table_dir)
         ks = new.select(*keys).distinct()
+        touched, untouched = _split_touched(old, ks, keys)
         merged = tdigest_merge_agg(
-            old.join(ks, keys, "left_semi").unionByName(new), by=keys
-        ).unionByName(old.join(ks, keys, "left_anti"))
+            touched.unionByName(new), by=keys
+        ).unionByName(untouched)
     else:
         merged = new
     _commit_snapshot(merged, table_dir, ingest_id)

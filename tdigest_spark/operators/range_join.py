@@ -79,6 +79,10 @@ def range_join(
     span = (F.floor(hi / w) - F.floor(lo / w)).cast("long")
     short = iv.filter(span < max_span_buckets)
     long_ = iv.filter(span >= max_span_buckets)
+    # one tiny job on the interval side decides whether the long
+    # branch exists at all — otherwise the union would re-scan the
+    # full points table against an empty broadcast side
+    has_long = bool(long_.limit(1).count())
 
     pts = points.filter(p.isNotNull()).withColumn(
         "__bucket", F.floor(p / w).cast("long")
@@ -94,6 +98,8 @@ def range_join(
 
     out_cols = [*points.columns, *[c for c in intervals.columns if c not in (*by,)]]
     matched = matched.select(*out_cols)
+    if not has_long:
+        return matched
     # the rare wide intervals: broadcast THEM (only their rows), join
     # by predicate — exactness preserved, strategy differs
     long_matched = (

@@ -318,9 +318,10 @@ def digest_sink(
             new = new.localCheckpoint(eager=True)
             old = spark.read.parquet(table_dir)
             keys = new.select(*by).distinct()
+            touched, untouched = _split_touched(old, keys, by)
             merged = tdigest_merge_agg(
-                old.join(keys, by, "left_semi").unionByName(new), by=by
-            ).unionByName(old.join(keys, by, "left_anti"))
+                touched.unionByName(new), by=by
+            ).unionByName(untouched)
         elif last is not None:
             old = spark.read.parquet(table_dir)
             merged = tdigest_merge_agg(old.unionByName(new), by=by)
@@ -333,6 +334,22 @@ def digest_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _split_touched(old: DataFrame, keys_df: DataFrame, by: Sequence[str]):
+    """(touched, untouched) split of ``old`` by membership of its key
+    tuple in ``keys_df`` — NULL-SAFE: a plain ``join(keys, by)`` uses
+    NULL-unequal semantics, so a NULL-keyed group would never match
+    the semi side and a duplicate row would be appended on every
+    batch (one row per ingest instead of one per group)."""
+    cond = None
+    for c in by:
+        eq = old[c].eqNullSafe(keys_df[c])
+        cond = eq if cond is None else (cond & eq)
+    return (
+        old.join(keys_df, cond, "left_semi"),
+        old.join(keys_df, cond, "left_anti"),
     )
 
 
@@ -442,8 +459,7 @@ def sketch_sink(
             new = new.localCheckpoint(eager=True)
             old = spark.read.parquet(table_dir)
             keys = new.select(*by).distinct()
-            touched = old.join(keys, by, "left_semi")
-            untouched = old.join(keys, by, "left_anti")
+            touched, untouched = _split_touched(old, keys, by)
             merged = sketch_merge_agg(
                 touched.unionByName(new), kinds, by=by, strategy=strategy
             ).unionByName(untouched)

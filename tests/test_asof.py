@@ -111,3 +111,24 @@ def test_single_shuffle_no_python(spark, sf_dir):
     )
     assert n_exchanges == 1, plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_null_payload_field_not_backfilled(spark):
+    # the matched right row's NULL field must stay NULL — not be
+    # backfilled from an older right row (fields travel as one struct)
+    left = spark.createDataFrame([(1, _ts(3), "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 5.0, 50.0), (1, _ts(2), None, 70.0)],
+        "k long, ts timestamp, a double, b double",
+    )
+    r = asof_join(left, right, "ts", by="k").collect()[0]
+    assert r.matched_ts == _ts(2) and r.a is None and r.b == 70.0
+
+
+def test_null_ts_right_rows_never_match(spark):
+    left = spark.createDataFrame([(1, _ts(1), "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, ts timestamp, ref double"
+    )
+    r = asof_join(left, right, "ts", by="k").collect()[0]
+    assert r.matched_ts is None and r.ref is None

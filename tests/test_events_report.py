@@ -13,7 +13,7 @@ STEPS = ["signup", "purchase", "error"]
 
 def test_sections_match_direct_operators(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    rep = events_report(spark, ev, STEPS, delta=1_000_000)
+    rep = events_report(ev, STEPS, delta=1_000_000)
     assert set(rep) == {"sessions", "session_digests", "funnel", "retention"}
     f_direct = funnel_counts(ev, "event_type", STEPS, "ts", "user_id")
     assert rep["funnel"].exceptAll(f_direct).count() == 0
@@ -27,9 +27,9 @@ def test_sections_match_direct_operators(spark, sf_dir):
 
 def test_drift_gate_zero_on_self(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    base = events_report(spark, ev, STEPS, delta=1_000_000)
+    base = events_report(ev, STEPS, delta=1_000_000)
     again = events_report(
-        spark, ev, STEPS, delta=1_000_000,
+        ev, STEPS, delta=1_000_000,
         prev_session_digests=base["session_digests"],
     )
     drift = again["drift"].collect()

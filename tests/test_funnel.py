@@ -105,3 +105,8 @@ def test_counts_monotone_and_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_duplicate_steps_rejected(toy):
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(toy, "event_type", ["signup", "signup", "error"], "ts", "user_id")

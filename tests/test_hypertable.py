@@ -109,3 +109,35 @@ def test_window_must_be_bucket_multiple(spark, sf_dir, tmp_path):
     hypertable_upsert(ev, "value", "ts", DAY, table)
     with pytest.raises(ValueError, match="multiple"):
         hypertable_window_stats(spark, table, DAY, DAY + 1, _stats_map())
+
+
+def test_null_group_key_stays_single_row(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 4)
+    rows = [
+        (base, None, 1.0), (base, "a", 2.0),
+        (base + dt.timedelta(hours=1), None, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, g string, value double")
+    table = str(tmp_path / "rt_null")
+    hypertable_upsert(df, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    hypertable_upsert(
+        spark.createDataFrame(
+            [(base + dt.timedelta(hours=2), None, 4.0)],
+            "ts timestamp, g string, value double",
+        ),
+        "value", "ts", DAY, table, by=["g"], delta=LOSSLESS,
+    )
+    t = spark.read.parquet(table)
+    # NULL-keyed group must stay ONE row per bucket (null-safe split),
+    # and its digest must carry all three NULL-group values
+    per_key = t.groupBy("bucket_start", "g").count().collect()
+    assert all(r["count"] == 1 for r in per_key)
+    got = hypertable_window_stats(
+        spark, table, DAY, DAY, {"n": ("total_weight",)}, by=["g"]
+    )
+    n = {r.g: int(r.n) for r in got.collect()}
+    assert n == {None: 3, "a": 1}

@@ -107,3 +107,12 @@ def test_negative_values_short_path(spark):
     )
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp.select(got.columns)).count() == 0
+
+
+def test_no_long_branch_when_all_short(spark, toy):
+    # with no interval over the span cap, the points table must be
+    # scanned once — no nested-loop union against an empty broadcast
+    points, intervals = toy
+    out = range_join(points, intervals, "v", "lo", "hi", by="k", bucket_width=2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
