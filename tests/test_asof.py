@@ -132,3 +132,40 @@ def test_null_ts_right_rows_never_match(spark):
     )
     r = asof_join(left, right, "ts", by="k").collect()[0]
     assert r.matched_ts is None and r.ref is None
+
+
+def test_streaming_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from tdigest_spark.streaming.enrich_stream import asof_enrich_stream
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    reference = (
+        ev.filter(F.col("event_id") % 17 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+        .localCheckpoint(eager=True)
+    )
+    left = ev.filter(F.col("event_id") % 17 != 0)
+    pdf = left.toPandas()
+    src = tmp_path / "src"
+    for i, chunk in enumerate(np.array_split(pdf.index.to_numpy(), 3)):
+        spark.createDataFrame(pdf.loc[chunk]).coalesce(1).write.parquet(
+            str(src / f"chunk={i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk=*")
+    )
+    q = asof_enrich_stream(
+        stream, reference, "ts", "user_id",
+        str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out")).drop("batch_id")
+    batch = asof_join(left, reference, "ts", by="user_id")
+    # as-of matching is per left row, so streamed enrichment must
+    # equal the one-shot batch join exactly
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
