@@ -85,3 +85,28 @@ def test_validation(spark):
         chunk_documents(df, "text", 0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", 4, 4)
+
+
+def test_chunk_then_pack_pipeline(spark, sf_dir):
+    # the LLM-prep chain: chunk docs -> count chunk tokens -> pack
+    # chunks into budgeted sequences; every chunk lands in exactly one
+    # sequence and no sequence exceeds the budget
+    from tdigest_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", 200, 50).filter(
+        F.length("chunk") > 0
+    )
+    chunks = chunks.select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("chunk_id"),
+        F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
+    )
+    budget = 128
+    packed = pack_sequences(chunks, "chunk_id", "n_tokens", budget)
+    totals = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    over = totals.filter((F.col("tot") > budget) & (F.col("n") > 1)).count()
+    assert over == 0  # only oversized singleton chunks may exceed
+    assert packed.count() == chunks.count()  # exactly-once
+    assert packed.select("chunk_id").distinct().count() == chunks.count()
