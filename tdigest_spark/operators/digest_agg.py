@@ -722,6 +722,79 @@ def with_percentile_rank(
     return rows.mapInPandas(score, out_schema)
 
 
+def quantile_normalize(
+    rows: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    out_col: str = "normalized",
+    delta: int = 200,
+    group_digests: DataFrame | None = None,
+    reference: DataFrame | None = None,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Map every row's value onto the REFERENCE distribution at the
+    row's within-group rank: ``out = Q_ref(F_group(v))`` — quantile
+    normalization, the batch-effect-correction move ("make every
+    source's feature distribution comparable before training a filter
+    on it"). After normalization each group's values follow the
+    reference distribution while preserving within-group order.
+
+    ``reference`` is a ONE-row digest table (default: a digest over
+    ALL rows — normalize every group onto the pooled distribution);
+    ``group_digests`` defaults to per-``by`` digests built from
+    ``rows``. Same scale shape as :func:`with_percentile_rank`: both
+    digest tables are O(groups x delta), collected once and broadcast
+    as blobs; the rows are scored in place by one vectorized
+    mapInPandas (``cdf_many`` then the reference's ``quantiles``
+    kernel) — never shuffled or joined. NULL/NaN values, and rows
+    whose group has no digest, get NULL."""
+    import numpy as np
+
+    by = list(by)
+    if not by:
+        raise ValueError("quantile_normalize needs group keys (else it is identity)")
+    if group_digests is None:
+        group_digests = tdigest_agg(rows, value_col, by=by, delta=delta)
+    if reference is None:
+        reference = tdigest_agg(rows, value_col, by=(), delta=delta)
+    blobs: dict[tuple, bytes] = {}
+    for r in group_digests.select(*by, digest_col).collect():
+        if r[digest_col] is not None:
+            key = _null_nan_key(tuple(r[c] for c in by))
+            blobs[key] = TDigest.from_row(r[digest_col].asDict()).to_bytes()
+    ref_rows = reference.select(digest_col).collect()
+    if len(ref_rows) != 1 or ref_rows[0][digest_col] is None:
+        raise ValueError("reference must be a one-row digest table")
+    ref_blob = TDigest.from_row(ref_rows[0][digest_col].asDict()).to_bytes()
+    bc = rows.sparkSession.sparkContext.broadcast((blobs, ref_blob))
+    out_schema = T.StructType(
+        list(rows.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        group_blobs, rblob = bc.value
+        ref = TDigest.from_bytes(rblob)
+        cache: dict[tuple, TDigest] = {}
+        for pdf in batches:
+            out = pdf.copy()
+            res = np.full(len(pdf), np.nan)
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            groups = pdf.groupby(by, sort=False, dropna=False).indices
+            for gk, idx in groups.items():
+                key = _null_nan_key(gk if isinstance(gk, tuple) else (gk,))
+                blob = group_blobs.get(key)
+                if blob is None:
+                    continue
+                dig = cache.get(key)
+                if dig is None:
+                    dig = cache.setdefault(key, TDigest.from_bytes(blob))
+                res[idx] = ref.quantiles(dig.cdf_many(vals[idx]))
+            out[out_col] = res
+            yield out
+
+    return rows.mapInPandas(score, out_schema)
+
+
 def filter_percentile_range(
     rows: DataFrame,
     digests: DataFrame,

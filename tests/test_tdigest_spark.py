@@ -742,3 +742,55 @@ def test_with_equidepth_bucket(spark, events):
     assert rows[("zz", 5.0)] is None
     nan_buckets = [r["bucket"] for r in res.collect() if r["value"] != r["value"] and r["value"] is not None]
     assert nan_buckets == [None]
+
+
+def test_quantile_normalize_matches_core_and_aligns_groups(spark, sf_dir):
+    import numpy as np
+
+    from tdigest_spark.operators.digest_agg import quantile_normalize, tdigest_agg
+    from tdigest_spark.sketch.tdigest import TDigest
+    from tdigest_spark.sources.tables import load
+
+    LOSSLESS = 1_000_000
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = quantile_normalize(
+        ev, "value", by=["event_type"], delta=LOSSLESS
+    ).toPandas().sort_values("event_id")
+    # driver-side reference computation with the SAME core kernels:
+    # the distributed op must reproduce it exactly (plumbing test)
+    pdf = ev.toPandas().sort_values("event_id")
+    ref = TDigest.from_values(pdf["value"].to_numpy(), LOSSLESS)
+    exp = np.full(len(pdf), np.nan)
+    for g, idx in pdf.groupby("event_type").indices.items():
+        dig = TDigest.from_values(pdf["value"].to_numpy()[idx], LOSSLESS)
+        exp[idx] = ref.quantiles(dig.cdf_many(pdf["value"].to_numpy()[idx]))
+    assert np.allclose(out["normalized"].to_numpy(), exp, rtol=0, atol=1e-9)
+    # within-group order is preserved (quantile mapping is monotone)
+    for g, grp in out.groupby("event_type"):
+        s = grp.sort_values("value")["normalized"].to_numpy()
+        assert (np.diff(s) >= -1e-12).all()
+    # groups with very different raw medians align onto the pooled
+    # distribution: normalized per-group medians huddle around the
+    # pooled median much tighter than the raw ones
+    raw_med = pdf.groupby("event_type")["value"].median()
+    norm_med = out.groupby("event_type")["normalized"].median()
+    pooled = pdf["value"].median()
+    assert norm_med.sub(pooled).abs().max() <= raw_med.sub(pooled).abs().max()
+
+
+def test_quantile_normalize_null_handling(spark):
+    from tdigest_spark.operators.digest_agg import quantile_normalize, tdigest_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 5.0)],
+        "g string, value double",
+    )
+    # group digests built from 'a' only: rows of group 'b' have no
+    # digest and must score NULL, as must the NULL value
+    gd = tdigest_agg(df.filter(F.col("g") == "a"), "value", by=["g"], delta=1_000_000)
+    out = quantile_normalize(
+        df, "value", by=["g"], group_digests=gd, delta=1_000_000
+    ).collect()
+    got = {(r.g, r.value): r.normalized for r in out}
+    assert got[("a", None)] is None and got[("b", 5.0)] is None
+    assert got[("a", 1.0)] is not None and got[("a", 2.0)] is not None
