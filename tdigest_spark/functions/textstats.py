@@ -19,6 +19,9 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "with_text_stats",
+    "repetition_stats",
+    "pattern_counts",
+    "with_curation_signals",
 ]
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -109,4 +112,72 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
+    )
+
+
+def repetition_stats(text: Column) -> Column:
+    """Gopher/C4-style repetition signals as ONE struct (codegen):
+
+    - ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total); boilerplate and keyword-stuffed
+      pages score high,
+    - ``top_token_frac`` — the most frequent token's share of all
+      tokens; a single token dominating is the classic
+      degenerate-generation / template signature.
+
+    Both are pure higher-order array expressions over the whitespace
+    tokens, reproducible in SQL for the oracle. Empty texts score 0.
+    """
+    toks = F.filter(_tokens(text), lambda t: t != "")
+    n = F.size(toks)
+    distinct_n = F.size(F.array_distinct(toks))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda t: t == u)),
+        )
+    )
+    zero = n <= 0
+    return F.struct(
+        F.when(zero, F.lit(0.0))
+        .otherwise(1.0 - distinct_n.cast("double") / n)
+        .alias("dup_token_frac"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(top.cast("double") / n)
+        .alias("top_token_frac"),
+    )
+
+
+def pattern_counts(text: Column) -> Column:
+    """Counts of curation-relevant surface patterns as ONE struct —
+    dialect-portable regexes (no lookarounds / shorthand classes that
+    differ between Java regex and RE2, so the DuckDB oracle matches):
+
+    - ``n_emails``  — ``[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+``
+    - ``n_urls``    — ``https?://[^ ]+``
+    - ``n_numbers`` — standalone digit runs ``[0-9]+``
+
+    High email/url density marks link farms and scraped directories;
+    the counts feed the same quantile-trim machinery as every other
+    per-doc feature."""
+    return F.struct(
+        F.size(
+            F.regexp_extract_all(
+                text, F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"), 0
+            )
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit("https?://[^ ]+"), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), 0)).alias("n_numbers"),
+    )
+
+
+def with_curation_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition + pattern signals appended as flat columns — one
+    scan, all codegen."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("__rep", repetition_stats(t))
+        .withColumn("__pat", pattern_counts(t))
+        .select("*", "__rep.*", "__pat.*")
+        .drop("__rep", "__pat")
     )
