@@ -871,13 +871,20 @@ def with_equidepth_bucket(
         if r[digest_col] is None:
             continue
         d = TDigest.from_row(r[digest_col].asDict())
+        if d.total_weight <= 0:  # empty digest (e.g. all-NULL group)
+            continue
         cuts[tuple(r[c] for c in by)] = [float(d.quantile(q)) for q in qs]
 
     v = F.col(value_col).cast("double")
     null_v = v.isNull() | F.isnan(v)
 
     def assign(arr):
-        return F.size(F.filter(arr, lambda c: v > c))
+        # arr may be NULL (group without a digest / empty cuts table);
+        # size(filter(NULL)) is -1 under legacy sizeOfNull, so gate on
+        # arr.isNotNull() to emit the documented NULL bucket instead.
+        return F.when(
+            arr.isNotNull() & ~null_v, F.size(F.filter(arr, lambda c: v > c))
+        ).otherwise(F.lit(None).cast("int"))
 
     if not by:
         arr = (
@@ -887,22 +894,30 @@ def with_equidepth_bucket(
             if cuts
             else F.lit(None).cast("array<double>")
         )
-        return rows.withColumn(
-            bucket_col, F.when(~null_v, assign(arr)).otherwise(F.lit(None))
-        )
+        return rows.withColumn(bucket_col, assign(arr))
 
     spark = rows.sparkSession
     cut_schema = T.StructType(
-        [rows.schema[c] for c in by]
+        [
+            T.StructField(f"__ck_{c}", rows.schema[c].dataType, True)
+            for c in by
+        ]
         + [T.StructField("__cuts", T.ArrayType(T.DoubleType()), False)]
     )
     cuts_df = spark.createDataFrame(
         [(*k, v_) for k, v_ in cuts.items()], cut_schema
     )
-    out = rows.join(F.broadcast(cuts_df), by, "left").withColumn(
-        bucket_col, F.when(~null_v, assign(F.col("__cuts"))).otherwise(F.lit(None))
+    # eqNullSafe per key: a NULL-keyed group must still find its cuts
+    # row (tdigest_agg DOES build a digest for the NULL group), matching
+    # the _null_nan_key policy of the other per-row scorers.
+    cond = None
+    for c in by:
+        clause = rows[c].eqNullSafe(cuts_df[f"__ck_{c}"])
+        cond = clause if cond is None else cond & clause
+    out = rows.join(F.broadcast(cuts_df), cond, "left").withColumn(
+        bucket_col, assign(F.col("__cuts"))
     )
-    return out.drop("__cuts")
+    return out.drop("__cuts", *[f"__ck_{c}" for c in by])
 
 
 def _null_nan_key(key: tuple) -> tuple:

@@ -101,10 +101,12 @@ def fd_merge_agg(
     def merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
         for b in pdf[blob_col]:
+            if b is None:  # nullable checkpoint column: skip NULL blobs
+                continue
             obj = FrequentDirections.from_bytes(bytes(b))
             acc = obj if acc is None else acc.merge(obj)
         out = {c: [pdf[c].iloc[0]] for c in by}
-        out[blob_col] = [acc.to_bytes()]
+        out[blob_col] = [None if acc is None else acc.to_bytes()]
         return pd.DataFrame(out)
 
     if by:

@@ -835,8 +835,24 @@ def cms_join_size(
         b.select(F.col(b_key).cast("string").alias("__k")),
         {"c": ("cms", "__k", eps, delta)},
     )
-    ca = CountMin.from_bytes(sa.collect()[0]["c"])
-    cb = CountMin.from_bytes(sb.collect()[0]["c"])
+    # An empty side yields ZERO rows from the global reduce (not a row
+    # with an empty blob) — an empty stream joins to nothing, so report
+    # est=0/bound=0 rather than crashing on collect()[0].
+    rows_a, rows_b = sa.collect(), sb.collect()
+    if not rows_a or not rows_b:
+        schema = T.StructType(
+            [
+                T.StructField("est", T.LongType()),
+                T.StructField("bound", T.DoubleType()),
+                T.StructField("n_a", T.LongType()),
+                T.StructField("n_b", T.LongType()),
+            ]
+        )
+        n_a = 0 if not rows_a else int(CountMin.from_bytes(rows_a[0]["c"]).total)
+        n_b = 0 if not rows_b else int(CountMin.from_bytes(rows_b[0]["c"]).total)
+        return a.sparkSession.createDataFrame([(0, 0.0, n_a, n_b)], schema)
+    ca = CountMin.from_bytes(rows_a[0]["c"])
+    cb = CountMin.from_bytes(rows_b[0]["c"])
     schema = T.StructType(
         [
             T.StructField("est", T.LongType()),
@@ -959,7 +975,14 @@ def kmv_overlap(
             out = pdf[keep].copy()
             jc, ov, un = [], [], []
             for ba, bb in zip(pdf[blob_a], pdf[blob_b]):
-                res = KMV.from_bytes(bytes(ba)).overlap(KMV.from_bytes(bytes(bb)))
+                # NULL blob (checkpointed nullable column) -> NULL metrics,
+                # matching fd_subspace_drift's None handling.
+                if ba is None or bb is None:
+                    res = None
+                else:
+                    res = KMV.from_bytes(bytes(ba)).overlap(
+                        KMV.from_bytes(bytes(bb))
+                    )
                 if res is None:
                     jc.append(None), ov.append(None), un.append(None)
                 else:

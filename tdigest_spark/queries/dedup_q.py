@@ -123,7 +123,16 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     11`` with a 3-token suffix), and genuinely unseen items
     (``doc_id % 19``, synthetic text) that must NOT be flagged.
     Oracle: text-equality join for the exact kind, exhaustive shingle
-    Jaccard for the near kind."""
+    Jaccard for the near kind.
+
+    Determinism vs the exhaustive oracle: this query runs the near leg
+    at r=1 banding (bands == n_hashes == 64), so candidate recall for
+    any true pair at jaccard >= 0.5 is 1-(1-j)^64 >= 1-6e-20 — every
+    pair the exhaustive SQL oracle emits is found regardless of seed or
+    scale factor (the default 16x4 banding has ~11% miss at j=0.5,
+    which would make borderline pairs a driver-hash coin flip). r=1 is
+    the correct knob HERE because the heldout side is small/broadcast;
+    production corpus-vs-corpus dedup keeps the banded s-curve."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     heldout = (
         docs.where(F.col("doc_id") % 17 == 0)
@@ -144,7 +153,7 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    report = decontaminate(docs, heldout, threshold=0.5)
+    report = decontaminate(docs, heldout, threshold=0.5, n_hashes=64, bands=64)
     return report.select(
         "corpus_id", "heldout_id", "kind", F.round("jaccard", 4).alias("jaccard")
     )

@@ -667,3 +667,49 @@ def test_cms_join_size_lineitem_orders(spark, sf_dir):
     # the estimate is informative, not just the trivial bound: the
     # overcount is a small fraction of the true size at this width
     assert row.est - true <= 0.05 * true
+
+    # an EMPTY side yields est=0/bound=0 (zero rows from the global
+    # reduce), never an IndexError on collect()[0]
+    empty = li.where(F.lit(False))
+    erow = cms_join_size(empty, "l_orderkey", od, "o_orderkey").collect()[0]
+    assert (erow.est, erow.bound, erow.n_a) == (0, 0.0, 0)
+    assert erow.n_b == od.count()
+    brow = cms_join_size(li, "l_orderkey", od.where(F.lit(False)), "o_orderkey").collect()[0]
+    assert (brow.est, brow.bound, brow.n_b) == (0, 0.0, 0)
+
+
+def test_null_blob_guards(spark):
+    """NULL sketch blobs (nullable checkpoint columns) are skipped in
+    fd_merge_agg and yield NULL metrics in kmv_overlap — never a task
+    crash."""
+    import numpy as np
+
+    from tdigest_spark.operators.fd_agg import fd_agg, fd_merge_agg
+    from tdigest_spark.operators.sketch_agg import kmv_overlap, sketch_build
+    from tdigest_spark.sketch.fd import FrequentDirections
+
+    vecs = [([float(i), float(i % 3)],) for i in range(20)]
+    src = spark.createDataFrame(vecs, "v array<double>")
+    fd = fd_agg(src, "v", ell=4)
+    blob = bytes(fd.collect()[0]["fd"])
+    withnull = spark.createDataFrame(
+        [(blob,), (None,)], "fd binary"
+    )
+    merged = fd_merge_agg(withnull).collect()
+    assert len(merged) == 1 and merged[0]["fd"] is not None
+    got = FrequentDirections.from_bytes(bytes(merged[0]["fd"]))
+    want = FrequentDirections.from_bytes(blob)
+    assert np.allclose(got.gram(), want.gram())
+    allnull = spark.createDataFrame([(None,), (None,)], "fd binary")
+    assert fd_merge_agg(allnull).collect()[0]["fd"] is None
+
+    k = sketch_build(
+        spark.createDataFrame([("x",), ("y",)], "s string"), {"k": ("kmv", "s", 8)}
+    )
+    kblob = bytes(k.collect()[0]["k"])
+    pairs = spark.createDataFrame(
+        [(kblob, kblob), (kblob, None), (None, None)], "a binary, b binary"
+    )
+    rows = kmv_overlap(pairs, "a", "b").collect()
+    assert rows[0]["jaccard_est"] == 1.0
+    assert rows[1]["jaccard_est"] is None and rows[2]["jaccard_est"] is None

@@ -743,6 +743,31 @@ def test_with_equidepth_bucket(spark, events):
     nan_buckets = [r["bucket"] for r in res.collect() if r["value"] != r["value"] and r["value"] is not None]
     assert nan_buckets == [None]
 
+    # NULL group KEY: tdigest_agg builds a digest for the NULL group,
+    # so its rows must match that cuts row (null-safe join), not NULL
+    nsrc = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), (None, 4.0), ("a", 1.0), ("a", 9.0)],
+        "grp string, value double",
+    )
+    nres = with_equidepth_bucket(nsrc, "value", 2, by=["grp"], delta=LOSSLESS)
+    nrows = {(r["grp"], r["value"]): r["bucket"] for r in nres.collect()}
+    assert nrows[(None, 1.0)] == 0 and nrows[(None, 2.0)] == 0
+    assert nrows[(None, 3.0)] == 1 and nrows[(None, 4.0)] == 1
+    assert nrows[("a", 1.0)] == 0 and nrows[("a", 9.0)] == 1
+
+    # EMPTY digest table (all-NULL values): bucket is NULL, never -1
+    esrc = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    edig = tdigest_agg(
+        esrc.where(F.lit(False)), "value", delta=LOSSLESS
+    )
+    eres = with_equidepth_bucket(esrc, "value", 2, digests=edig)
+    assert [r["bucket"] for r in eres.collect()] == [None, None]
+    geres = with_equidepth_bucket(
+        esrc.withColumn("grp", F.lit("g")), "value", 2, by=["grp"],
+        digests=edig.withColumn("grp", F.lit("g")).where(F.lit(False)),
+    )
+    assert [r["bucket"] for r in geres.collect()] == [None, None]
+
 
 def test_quantile_normalize_matches_core_and_aligns_groups(spark, sf_dir):
     import numpy as np
