@@ -1,14 +1,21 @@
-"""Multimodal column handling: image/audio/video as opaque ``binary``
-payloads with typed metadata structs, processed by Arrow-batched
-``mapInPandas`` stages.
+"""Multimodal column handling: image/audio as real encoded ``binary``
+payloads (valid PNG / PCM WAV files) with typed metadata structs,
+processed by Arrow-batched ``mapInPandas`` stages.
 
-The sandbox has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic fake (bytes -> uint8 "pixels"); swap
-``_decode_bytes`` for PIL/librosa in production (the try-import is in
-place). Everything around it — schema, metadata propagation,
-partitioning, UDF signatures, Arrow batch shapes — is the real
-pipeline and is tested + oracle-checked (the fake features are pure
-byte arithmetic, reproducible in SQL).
+The decode step is REAL: payloads are genuine PNG (zlib-inflated,
+CRC-checked, per-scanline unfiltered) and WAV (RIFF chunk walk, int16
+PCM) files decoded by the pure-stdlib codecs in
+:mod:`tdigest_spark.functions.media_codecs`; ``decode_features``
+measures statistics of decoded pixels/samples. PIL, when present, is
+used only as an independent cross-check in tests (``_HAS_PIL`` gate).
+
+Oracle strategy: the synthetic generator draws pixel/sample VALUES
+from closed-form integer formulas of (media_id, index), so DuckDB can
+reproduce every decoded-domain feature from the formula alone without
+decoding PNG/WAV — the Spark side must actually decode the container
+to agree. Reference scope: the reference engine is numeric-only
+(``tdigest/src/Data/TDigest/Internal.hs:4-7``); multimodal columns are
+a beyond-reference training-data-pipeline addition.
 """
 
 from __future__ import annotations
@@ -21,6 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tdigest_spark.functions.media_codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
 
@@ -28,82 +42,152 @@ try:  # pragma: no cover - not installed in this container
 except ImportError:
     _HAS_PIL = False
 
-__all__ = ["synth_media", "media_sql_duckdb", "decode_features", "resize_media", "sample_frames"]
+__all__ = [
+    "synth_media",
+    "media_dims_duckdb",
+    "PIXEL_SQL",
+    "SAMPLE_SQL",
+    "decode_features",
+    "resize_media",
+    "sample_frames",
+]
 
 META_TYPE = T.StructType(
     [
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
     ]
 )
 
-# LCG-derived payload: a shifted slice of a repeating 16-char alphabet,
-# length exactly width*height bytes. Identical SQL renders in Spark and
-# DuckDB (same trick as sources/webpages.py).
-_TEMPLATE = """
-WITH g AS (
-  SELECT id, (id * 1103515245 + 12345) % 2147483648 AS u1 FROM {src}
-), g2 AS (
-  SELECT id, u1, (u1 * 69069 + 1) % 2147483648 AS u2 FROM g
-), dims AS (
-  SELECT id, u1, u2,
-         cast(4 + u1 % 13 AS {INT}) AS width,
-         cast(3 + u2 % 9 AS {INT}) AS height,
-         cast(1 + (u1 * 69069 + 1) % 2147483648 % 16 AS {INT}) AS off
-  FROM g2
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
 )
-SELECT id AS media_id,
-  CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-  {BINO}substr(repeat('abcdefghijklmnop', cast(width * height / 16 + 2 AS {INT})),
-         off, width * height){BINC} AS payload,
-  width, height,
-  CASE WHEN id % 2 = 1 THEN 8000 ELSE 0 END AS sample_rate
-FROM dims
-"""
 
 
-def media_sql_spark(n: int) -> str:
-    return _TEMPLATE.format(src=f"range({n})", INT="INT", BINO="cast(", BINC=" AS BINARY)")
+def _dims(media_id: int) -> dict:
+    """LCG-derived dimensions, shared bit-for-bit with the DuckDB
+    oracle SQL in :func:`media_dims_duckdb`."""
+    u1 = (media_id * 1103515245 + 12345) % 2147483648
+    u2 = (u1 * 69069 + 1) % 2147483648
+    if media_id % 2 == 0:
+        return {
+            "kind": "image",
+            "width": 4 + u1 % 13,
+            "height": 3 + u2 % 9,
+            "sample_rate": 0,
+            "n_samples": 0,
+        }
+    return {
+        "kind": "audio",
+        "width": 0,
+        "height": 0,
+        "sample_rate": 8000,
+        "n_samples": 64 + u1 % 128,
+    }
 
 
-def media_sql_duckdb(n: int) -> str:
-    return _TEMPLATE.format(src=f"range({n}) t(id)", INT="BIGINT", BINO="encode(", BINC=")")
+# Closed-form decoded-domain content, row-major index i. These SQL
+# fragments ARE the generator formulas — the oracle computes features
+# from them directly; Spark must decode the PNG/WAV container to agree.
+PIXEL_SQL = "(media_id * 7 + i * 13 + 3) % 256"
+SAMPLE_SQL = "((media_id * 31 + i * 17) % 4096) - 2048"
+
+
+def _pixels(media_id: int, width: int, height: int) -> np.ndarray:
+    i = np.arange(width * height, dtype=np.int64)
+    return ((media_id * 7 + i * 13 + 3) % 256).astype(np.uint8).reshape(height, width)
+
+
+def _samples(media_id: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return (((media_id * 31 + i * 17) % 4096) - 2048).astype(np.int16)
+
+
+def media_dims_duckdb(n: int) -> str:
+    """DuckDB CTE body producing (media_id, kind, width, height,
+    sample_rate, n_samples, n_units) for ids [0, n) — the oracle's
+    twin of :func:`_dims`."""
+    return f"""
+        WITH g AS (
+          SELECT id, (id * 1103515245 + 12345) % 2147483648 AS u1
+          FROM range({n}) t(id)
+        ), g2 AS (
+          SELECT id, u1, (u1 * 69069 + 1) % 2147483648 AS u2 FROM g
+        )
+        SELECT id AS media_id,
+          CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          CASE WHEN id % 2 = 0 THEN 4 + u1 % 13 ELSE 0 END AS width,
+          CASE WHEN id % 2 = 0 THEN 3 + u2 % 9 ELSE 0 END AS height,
+          CASE WHEN id % 2 = 1 THEN 8000 ELSE 0 END AS sample_rate,
+          CASE WHEN id % 2 = 1 THEN 64 + u1 % 128 ELSE 0 END AS n_samples,
+          CASE WHEN id % 2 = 0 THEN (4 + u1 % 13) * (3 + u2 % 9)
+               ELSE 64 + u1 % 128 END AS n_units
+        FROM g2
+    """
 
 
 def synth_media(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic media table: (media_id, kind, payload binary,
-    metadata struct)."""
-    flat = spark.sql(media_sql_spark(n))
-    return flat.select(
-        "media_id",
-        "kind",
-        "payload",
-        F.struct(
-            F.col("width").cast("int").alias("width"),
-            F.col("height").cast("int").alias("height"),
-            F.col("sample_rate").cast("int").alias("sample_rate"),
-        ).alias("meta"),
-    )
+    meta struct). Payloads are REAL files — grayscale PNG (filter type
+    cycling through all five predictors) for even ids, 16-bit PCM WAV
+    for odd ids — generated distributedly, one Arrow batch at a time."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                d = _dims(mid)
+                if d["kind"] == "image":
+                    payload = png_encode(_pixels(mid, d["width"], d["height"]))
+                else:
+                    payload = wav_encode(
+                        _samples(mid, d["n_samples"]), d["sample_rate"]
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": d["kind"],
+                        "payload": payload,
+                        "meta": {k: d[k] for k in
+                                 ("width", "height", "sample_rate", "n_samples")},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: bytes -> uint8 (height, width) array. Replace with
-    PIL.Image.open for real images (``_HAS_PIL`` gate above)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return arr[: width * height].reshape(height, width)
+def _decode(payload: bytes) -> np.ndarray:
+    """Container-sniffing decode: PNG -> uint8 pixel matrix, WAV ->
+    int16 sample vector. Raises on anything else — a corrupt payload
+    must fail loudly, not feed garbage statistics downstream."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(payload)
+    if payload[:4] == b"RIFF":
+        return wav_decode(payload)[0]
+    raise ValueError("unknown media container (expected PNG or WAV)")
 
 
 def decode_features(df: DataFrame) -> DataFrame:
-    """Decode + per-item features, one Arrow batch at a time: n_bytes,
-    mean/min/max byte value. Output keeps the metadata struct."""
+    """Real decode + per-item features over the decoded domain, one
+    Arrow batch at a time: n_units (pixels/samples), mean/min/max of
+    the decoded values. Decoded shape is validated against the
+    metadata struct — a dims mismatch raises."""
     out_schema = T.StructType(
         [df.schema[c] for c in ("media_id", "kind", "meta")]
         + [
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("mean_byte", T.DoubleType()),
-            T.StructField("min_byte", T.IntegerType()),
-            T.StructField("max_byte", T.IntegerType()),
+            T.StructField("n_units", T.LongType()),
+            T.StructField("mean_val", T.DoubleType()),
+            T.StructField("min_val", T.IntegerType()),
+            T.StructField("max_val", T.IntegerType()),
         ]
     )
 
@@ -112,32 +196,32 @@ def decode_features(df: DataFrame) -> DataFrame:
             out = pdf[["media_id", "kind", "meta"]].copy()
             n, mean, lo, hi = [], [], [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                img = _decode_bytes(
-                    bytes(payload), int(meta["width"]), int(meta["height"])
-                )
-                n.append(img.size)
-                mean.append(float(img.mean()))
-                lo.append(int(img.min()))
-                hi.append(int(img.max()))
-            out["n_bytes"], out["mean_byte"] = n, mean
-            out["min_byte"], out["max_byte"] = lo, hi
+                arr = _decode(bytes(payload))
+                if arr.ndim == 2:
+                    if arr.shape != (int(meta["height"]), int(meta["width"])):
+                        raise ValueError("decoded image dims != metadata")
+                elif arr.shape[0] != int(meta["n_samples"]):
+                    raise ValueError("decoded sample count != metadata")
+                flat = arr.astype(np.int64).ravel()
+                n.append(flat.size)
+                # exact integer sum then ONE double division — matches
+                # the oracle's list_sum(...)/n bit-for-bit
+                mean.append(int(flat.sum()) / flat.size)
+                lo.append(int(flat.min()))
+                hi.append(int(flat.max()))
+            out["n_units"], out["mean_val"] = n, mean
+            out["min_val"], out["max_val"] = lo, hi
             yield out
 
     return df.mapInPandas(run, out_schema)
 
 
 def resize_media(df: DataFrame, scale: int = 2) -> DataFrame:
-    """Fake resize: keep every ``scale``-th column of the decoded
-    array; payload + metadata updated consistently (the real pipeline
-    shape for image downscaling)."""
-    out_schema = T.StructType(
-        [
-            df.schema["media_id"],
-            df.schema["kind"],
-            T.StructField("payload", T.BinaryType()),
-            T.StructField("meta", META_TYPE),
-        ]
-    )
+    """Decode -> downsample by ``scale`` -> RE-ENCODE. Images keep
+    every ``scale``-th column (width/meta updated, payload is a new
+    valid PNG); audio keeps every ``scale``-th sample (decimation;
+    sample_rate divided accordingly, payload is a new valid WAV)."""
+    out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,30 +229,40 @@ def resize_media(df: DataFrame, scale: int = 2) -> DataFrame:
             for mid, kind, payload, meta in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _decode_bytes(bytes(payload), w, h)
-                small = img[:, ::scale]
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "kind": kind,
-                        "payload": small.tobytes(),
-                        "meta": {
-                            "width": small.shape[1],
-                            "height": small.shape[0],
-                            "sample_rate": int(meta["sample_rate"]),
-                        },
+                arr = _decode(bytes(payload))
+                if kind == "image":
+                    small = arr[:, ::scale]
+                    new_payload = png_encode(small)
+                    new_meta = {
+                        "width": int(small.shape[1]),
+                        "height": int(small.shape[0]),
+                        "sample_rate": 0,
+                        "n_samples": 0,
                     }
+                else:
+                    kept = arr[::scale]
+                    rate = max(1, int(meta["sample_rate"]) // scale)
+                    new_payload = wav_encode(kept, rate)
+                    new_meta = {
+                        "width": 0,
+                        "height": 0,
+                        "sample_rate": rate,
+                        "n_samples": int(kept.shape[0]),
+                    }
+                rows.append(
+                    {"media_id": mid, "kind": kind, "payload": new_payload,
+                     "meta": new_meta}
                 )
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, out_schema)
 
 
-def sample_frames(df: DataFrame, frame_bytes: int = 16, every: int = 2) -> DataFrame:
-    """Treat the payload as a frame sequence; keep every ``every``-th
-    frame (video frame-sampling shape): outputs n_frames kept + a
-    deterministic checksum of kept bytes."""
+def sample_frames(df: DataFrame, frame_len: int = 16, every: int = 2) -> DataFrame:
+    """Frame-sampling over the DECODED domain (video-frame-sampling
+    shape on audio data): split decoded values into frames of
+    ``frame_len`` units, keep every ``every``-th frame; outputs frame
+    counts + a checksum (sum) of kept decoded values."""
     out_schema = T.StructType(
         [
             df.schema["media_id"],
@@ -182,9 +276,9 @@ def sample_frames(df: DataFrame, frame_bytes: int = 16, every: int = 2) -> DataF
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n_full = len(b) // frame_bytes
-                frames = b[: n_full * frame_bytes].reshape(n_full, frame_bytes)
+                vals = _decode(bytes(payload)).astype(np.int64).ravel()
+                n_full = len(vals) // frame_len
+                frames = vals[: n_full * frame_len].reshape(n_full, frame_len)
                 kept = frames[::every]
                 rows.append(
                     {

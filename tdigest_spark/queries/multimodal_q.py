@@ -1,8 +1,13 @@
-"""Multimodal query family: binary payload decode / resize /
-frame-sample pipelines over the deterministic synthetic media table.
-The fake decode is pure byte arithmetic, so DuckDB reproduces every
-feature from the same generated payload string (ascii() comprehension
-over the regenerated payload)."""
+"""Multimodal query family: REAL binary decode / resize / frame-sample
+pipelines over the deterministic synthetic media table.
+
+Payloads are genuine PNG/WAV files; the Spark side must decode the
+container (zlib inflate + scanline unfilter / RIFF walk + PCM unpack)
+to produce these features. The ORACLE never decodes: the generator
+draws pixel/sample values from closed-form formulas of
+(media_id, index), so DuckDB recomputes the expected decoded-domain
+features from the formulas alone — agreement proves the decode is
+faithful, not echoed."""
 
 from __future__ import annotations
 
@@ -10,18 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tdigest_spark.operators.multimodal import (
+    PIXEL_SQL,
+    SAMPLE_SQL,
     decode_features,
-    media_sql_duckdb,
+    media_dims_duckdb,
     resize_media,
     sample_frames,
     synth_media,
 )
 
 N_MEDIA = 2_000
-_DUCK = media_sql_duckdb(N_MEDIA)
-
-# ascii codes of the payload string, 1-indexed slice helpers
-_CODES = "[ascii(p[i]) FOR i IN range(1, length(p)+1)]"
+_DIMS = media_dims_duckdb(N_MEDIA)
 
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,37 +34,50 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "kind",
-        "n_bytes",
-        F.round("mean_byte", 4).alias("mean_byte"),
-        "min_byte",
-        "max_byte",
+        "n_units",
+        F.round("mean_val", 4).alias("mean_val"),
+        "min_val",
+        "max_val",
     )
 
 
 def mm_transform_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Arrow-batched transform operators in one driver row set
-    (consolidates round-2's mm_resize_meta + mm_frame_sample under the
-    50-row budget): image rows go through ``resize_media`` (payload +
-    metadata updated consistently), audio rows through
-    ``sample_frames`` (every-2nd-frame kept, checksum of kept bytes);
-    the union carries NULLs in the other operator's columns."""
+    """Both decoded-domain transform operators in one driver row set
+    (consolidated under the 50-row budget): image rows go through
+    ``resize_media`` (decode -> drop every 2nd column -> re-encode PNG;
+    the pixel checksum is then recovered by DECODING THE RE-ENCODED
+    payload via ``sample_frames(frame_len=1)``, so the row checks the
+    full decode->transform->encode->decode cycle), audio rows through
+    ``sample_frames`` (every-2nd-frame of decoded samples kept)."""
     media = synth_media(spark, N_MEDIA)
-    small = resize_media(media.where(F.col("kind") == "image"), scale=2).select(
-        "media_id",
-        F.col("meta.width").alias("new_width"),
-        F.col("meta.height").alias("new_height"),
-        F.length("payload").alias("n_bytes"),
-        F.lit(None).cast("int").alias("n_frames"),
-        F.lit(None).cast("int").alias("n_kept"),
-        F.lit(None).cast("long").alias("kept_checksum"),
+    resized = resize_media(media.where(F.col("kind") == "image"), scale=2)
+    px = sample_frames(resized, frame_len=1, every=1).select(
+        "media_id", F.col("kept_checksum").alias("px_sum")
+    )
+    small = (
+        resized.select(
+            "media_id",
+            F.col("meta.width").alias("new_width"),
+            F.col("meta.height").alias("new_height"),
+        )
+        .join(px, "media_id")
+        .select(
+            "media_id",
+            "new_width",
+            "new_height",
+            "px_sum",
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("n_kept"),
+            F.lit(None).cast("long").alias("kept_checksum"),
+        )
     )
     frames = sample_frames(
-        media.where(F.col("kind") == "audio"), frame_bytes=16, every=2
+        media.where(F.col("kind") == "audio"), frame_len=16, every=2
     ).select(
         "media_id",
         F.lit(None).cast("int").alias("new_width"),
         F.lit(None).cast("int").alias("new_height"),
-        F.lit(None).cast("int").alias("n_bytes"),
+        F.lit(None).cast("long").alias("px_sum"),
         "n_frames",
         "n_kept",
         "kept_checksum",
@@ -75,37 +92,43 @@ QUERIES = {
 
 ORACLES = {
     "mm_decode_features": f"""
-        WITH media AS ({_DUCK}),
-        codes AS (SELECT media_id, kind, decode(payload) AS p FROM media)
+        WITH dims AS ({_DIMS}),
+        vals AS (
+          SELECT media_id, kind, n_units,
+            CASE WHEN kind = 'image'
+              THEN [{PIXEL_SQL} FOR i IN range(0, n_units)]
+              ELSE [{SAMPLE_SQL} FOR i IN range(0, n_units)]
+            END AS v
+          FROM dims)
         SELECT media_id, kind,
-               length(p)::BIGINT AS n_bytes,
-               round(list_avg({_CODES}), 4) AS mean_byte,
-               list_min({_CODES}) AS min_byte,
-               list_max({_CODES}) AS max_byte
-        FROM codes
+               n_units::BIGINT AS n_units,
+               round(list_sum(v) / n_units, 4) AS mean_val,
+               list_min(v)::INT AS min_val,
+               list_max(v)::INT AS max_val
+        FROM vals
     """,
     "mm_transform_meta": f"""
-        WITH media AS ({_DUCK}),
-        f AS (SELECT media_id, decode(payload) AS p,
-                     octet_length(payload) // 16 AS n_full
-              FROM media WHERE kind = 'audio')
+        WITH dims AS ({_DIMS})
         SELECT media_id,
                cast((width + 1) // 2 AS INT) AS new_width,
                cast(height AS INT) AS new_height,
-               cast(((width + 1) // 2) * height AS INT) AS n_bytes,
+               list_sum(
+                 [{PIXEL_SQL} FOR i IN range(0, width * height)
+                  IF (i % width) % 2 = 0]
+               )::BIGINT AS px_sum,
                cast(NULL AS INT) AS n_frames,
                cast(NULL AS INT) AS n_kept,
                cast(NULL AS BIGINT) AS kept_checksum
-        FROM media WHERE kind = 'image'
+        FROM dims WHERE kind = 'image'
         UNION ALL
         SELECT media_id,
-               cast(NULL AS INT), cast(NULL AS INT), cast(NULL AS INT),
-               cast(n_full AS INT) AS n_frames,
-               cast((n_full + 1) // 2 AS INT) AS n_kept,
+               cast(NULL AS INT), cast(NULL AS INT), cast(NULL AS BIGINT),
+               cast(n_samples // 16 AS INT) AS n_frames,
+               cast((n_samples // 16 + 1) // 2 AS INT) AS n_kept,
                coalesce(list_sum(
-                 [ascii(p[i]) FOR i IN range(1, n_full * 16 + 1)
-                  IF ((i - 1) // 16) % 2 = 0]
+                 [{SAMPLE_SQL} FOR i IN range(0, (n_samples // 16) * 16)
+                  IF (i // 16) % 2 = 0]
                ), 0)::BIGINT AS kept_checksum
-        FROM f
+        FROM dims WHERE kind = 'audio'
     """,
 }

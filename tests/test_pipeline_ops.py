@@ -118,15 +118,35 @@ def test_lsh_neardup_finds_scaled_copies(spark, sf_dir):
 
 
 def test_multimodal_roundtrip(spark):
+    """Payloads are REAL PNG/WAV files; decode_features measures the
+    decoded domain (pixel 0..255 / sample -2048..2047 from the
+    generator formulas), and resize re-encodes a valid container."""
     media = synth_media(spark, 200)
     assert media.schema["payload"].dataType.simpleString() == "binary"
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, payload in raw.items():
+        if mid % 2 == 0:
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        else:
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
     feats = decode_features(media).collect()
     for r in feats:
-        assert r["n_bytes"] == r["meta"]["width"] * r["meta"]["height"]
-        assert 97 <= r["min_byte"] <= r["max_byte"] <= 112  # 'a'..'p'
-    small = resize_media(media.where(F.col("kind") == "image"), scale=2).collect()
+        if r["kind"] == "image":
+            assert r["n_units"] == r["meta"]["width"] * r["meta"]["height"]
+            assert 0 <= r["min_val"] <= r["max_val"] <= 255
+        else:
+            assert r["n_units"] == r["meta"]["n_samples"]
+            assert -2048 <= r["min_val"] <= r["max_val"] <= 2047
+    small = resize_media(media, scale=2).collect()
+    from tdigest_spark.functions.media_codecs import png_decode, wav_decode
+
     for r in small:
-        assert r["meta"]["width"] * r["meta"]["height"] == len(bytes(r["payload"]))
+        if r["kind"] == "image":
+            img = png_decode(bytes(r["payload"]))
+            assert img.shape == (r["meta"]["height"], r["meta"]["width"])
+        else:
+            s, rate = wav_decode(bytes(r["payload"]))
+            assert len(s) == r["meta"]["n_samples"] and rate == 4000
 
 
 def test_ivf_pruned_recall(spark, sf_dir):
