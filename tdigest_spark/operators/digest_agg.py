@@ -653,6 +653,119 @@ def tdigest_cdf_at(
     return df.mapInPandas(evaluate, out_schema)
 
 
+# Broadcast regime bound for the per-row scorers: a digest table is
+# ~3 KB/group at delta=200, so 1e5 groups ~ 300 MB of driver+broadcast
+# traffic — beyond this the scorers auto-route to the shuffle-join form.
+MAX_BROADCAST_GROUPS = 100_000
+
+
+def _digest_head(
+    digests: DataFrame, by: list, digest_col: str, limit: int
+) -> list | None:
+    """Fetch up to ``limit + 1`` digest rows. Returns the FULL row list
+    when the table fits the broadcast regime (head(n) returns all rows
+    when total <= n), else None — the caller must switch to the
+    shuffle-join path. The probe job short-circuits via CollectLimit's
+    incremental partition scan; in the join regime the digest agg runs
+    once more inside the join job (documented cost of not persisting)."""
+    head = digests.select(*by, digest_col).head(limit + 1)
+    return head if len(head) <= limit else None
+
+
+def _digest_blob_table(digests: DataFrame, by: list, digest_col: str) -> DataFrame:
+    """Digest structs -> compact blobs, computed DISTRIBUTEDLY (no
+    driver collect) with prefixed key columns for a null-safe join."""
+    out_schema = T.StructType(
+        [
+            T.StructField(f"__k_{c}", digests.schema[c].dataType, True)
+            for c in by
+        ]
+        + [T.StructField("__blob", T.BinaryType(), True)]
+    )
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({f"__k_{c}": pdf[c] for c in by})
+            out["__blob"] = [
+                None if d is None else TDigest.from_row(d).to_bytes()
+                for d in pdf[digest_col]
+            ]
+            yield out
+
+    return digests.select(*by, digest_col).mapInPandas(conv, out_schema)
+
+
+def _score_joined(
+    rows: DataFrame,
+    digests: DataFrame,
+    by: list,
+    digest_col: str,
+    out_col: str,
+    make_scorer,
+) -> DataFrame:
+    """Shuffle-join scoring path (the above-regime form): the digest
+    table is blob-compacted distributedly, null-safe-joined onto the
+    rows (one shuffle of the rows by the group keys; AQE may split
+    skewed keys since no downstream grouping exists), and scored by one
+    mapInPandas whose per-task digest cache decodes each group's blob
+    once. ``make_scorer()`` returns ``f(digest, values) -> ndarray``
+    given the decoded TDigest."""
+    import numpy as np
+
+    blobs = _digest_blob_table(digests, by, digest_col)
+    cond = None
+    for c in by:
+        clause = rows[c].eqNullSafe(blobs[f"__k_{c}"])
+        cond = clause if cond is None else cond & clause
+    joined = rows.join(blobs, cond, "left")
+    orig_cols = [f.name for f in rows.schema.fields]
+    out_schema = T.StructType(
+        list(rows.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = make_scorer()
+        cache: dict[tuple, TDigest] = {}
+        for pdf in batches:
+            out = pdf[orig_cols].copy()
+            res = np.full(len(pdf), np.nan)
+            vals = scorer.values(pdf)
+            # group by the ROWS' OWN keys, not the joined __k_ columns:
+            # a digest-less group's __k_ values are NULL (left-join
+            # miss) and would collide with the genuine NULL-key group
+            groups = pdf.groupby(by, sort=False, dropna=False).indices
+            for gk, idx in groups.items():
+                key = _null_nan_key(gk if isinstance(gk, tuple) else (gk,))
+                dig = cache.get(key)
+                if dig is None:
+                    blob = pdf["__blob"].iloc[idx[0]]
+                    if blob is None or (isinstance(blob, float) and blob != blob):
+                        continue
+                    dig = cache.setdefault(key, TDigest.from_bytes(bytes(blob)))
+                res[idx] = scorer.score(dig, vals[idx])
+            out[out_col] = res
+            yield out
+
+    return joined.mapInPandas(score, out_schema)
+
+
+class _CdfScorer:
+    """cdf_many per group digest (with_percentile_rank's kernel)."""
+
+    def __init__(self, value_col: str, ref_blob: bytes | None = None):
+        self._value_col = value_col
+        self._ref = TDigest.from_bytes(ref_blob) if ref_blob is not None else None
+
+    def values(self, pdf: pd.DataFrame):
+        import numpy as np
+
+        return pdf[self._value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+
+    def score(self, dig: TDigest, vals):
+        ranks = dig.cdf_many(vals)
+        return ranks if self._ref is None else self._ref.quantiles(ranks)
+
+
 def with_percentile_rank(
     rows: DataFrame,
     digests: DataFrame,
@@ -660,6 +773,7 @@ def with_percentile_rank(
     by: Sequence[str] = (),
     out_col: str = "pct_rank",
     digest_col: str = "digest",
+    max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
 ) -> DataFrame:
     """Score EVERY row with its group digest's mid-rank cdf at the
     row's value — the per-row companion of :func:`tdigest_cdf_at`, and
@@ -676,18 +790,28 @@ def with_percentile_rank(
     NULL and NaN group keys are conflated for the lookup (the module's
     pandas-groupby NaN policy).
 
-    Regime bound: the broadcast is O(groups x delta) — ~3 KB/group at
-    delta=200, fine to ~1e5 groups. Beyond that (group cardinality
-    approaching row count) broadcast the ROWS' side instead: repartition
-    both inputs by the keys and use the join + :func:`tdigest_cdf_at`
-    form, which shuffles but never materializes the whole digest table
-    per executor.
+    Regime bound, AUTO-ROUTED: the broadcast is O(groups x delta) —
+    ~3 KB/group at delta=200, fine to ~1e5 groups
+    (``max_broadcast_groups``). A head(limit+1) probe counts the digest
+    table; above the limit the scorer switches to the shuffle-join form
+    (:func:`_score_joined`): digest blobs stay distributed, the rows
+    shuffle ONCE by the group keys, and no executor ever materializes
+    the whole digest table. Identical output either way (tested with a
+    forced low threshold).
     """
     import numpy as np
 
     by = list(by)
+    head = _digest_head(digests, by, digest_col, max_broadcast_groups)
+    if head is None:
+        if not by:
+            raise AssertionError("keyless digest table cannot exceed one row")
+        return _score_joined(
+            rows, digests, by, digest_col, out_col,
+            lambda: _CdfScorer(value_col),
+        )
     blobs: dict[tuple, bytes] = {}
-    for r in digests.select(*by, digest_col).collect():
+    for r in head:
         if r[digest_col] is None:
             continue
         key = _null_nan_key(tuple(r[c] for c in by))
@@ -731,6 +855,7 @@ def quantile_normalize(
     group_digests: DataFrame | None = None,
     reference: DataFrame | None = None,
     digest_col: str = "digest",
+    max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
 ) -> DataFrame:
     """Map every row's value onto the REFERENCE distribution at the
     row's within-group rank: ``out = Q_ref(F_group(v))`` — quantile
@@ -742,12 +867,13 @@ def quantile_normalize(
     ``reference`` is a ONE-row digest table (default: a digest over
     ALL rows — normalize every group onto the pooled distribution);
     ``group_digests`` defaults to per-``by`` digests built from
-    ``rows``. Same scale shape as :func:`with_percentile_rank`: both
-    digest tables are O(groups x delta), collected once and broadcast
-    as blobs; the rows are scored in place by one vectorized
-    mapInPandas (``cdf_many`` then the reference's ``quantiles``
-    kernel) — never shuffled or joined. NULL/NaN values, and rows
-    whose group has no digest, get NULL."""
+    ``rows``. Same scale shape AND auto-routing as
+    :func:`with_percentile_rank`: below ``max_broadcast_groups`` both
+    digest tables are collected once and broadcast as blobs and the
+    rows are scored in place (never shuffled); above it the group
+    digests stay distributed and the rows shuffle once through the
+    null-safe join form (the one-row reference is always broadcast).
+    NULL/NaN values, and rows whose group has no digest, get NULL."""
     import numpy as np
 
     by = list(by)
@@ -757,15 +883,21 @@ def quantile_normalize(
         group_digests = tdigest_agg(rows, value_col, by=by, delta=delta)
     if reference is None:
         reference = tdigest_agg(rows, value_col, by=(), delta=delta)
-    blobs: dict[tuple, bytes] = {}
-    for r in group_digests.select(*by, digest_col).collect():
-        if r[digest_col] is not None:
-            key = _null_nan_key(tuple(r[c] for c in by))
-            blobs[key] = TDigest.from_row(r[digest_col].asDict()).to_bytes()
     ref_rows = reference.select(digest_col).collect()
     if len(ref_rows) != 1 or ref_rows[0][digest_col] is None:
         raise ValueError("reference must be a one-row digest table")
     ref_blob = TDigest.from_row(ref_rows[0][digest_col].asDict()).to_bytes()
+    head = _digest_head(group_digests, by, digest_col, max_broadcast_groups)
+    if head is None:
+        return _score_joined(
+            rows, group_digests, by, digest_col, out_col,
+            lambda: _CdfScorer(value_col, ref_blob),
+        )
+    blobs: dict[tuple, bytes] = {}
+    for r in head:
+        if r[digest_col] is not None:
+            key = _null_nan_key(tuple(r[c] for c in by))
+            blobs[key] = TDigest.from_row(r[digest_col].asDict()).to_bytes()
     bc = rows.sparkSession.sparkContext.broadcast((blobs, ref_blob))
     out_schema = T.StructType(
         list(rows.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
@@ -836,6 +968,7 @@ def with_equidepth_bucket(
     bucket_col: str = "bucket",
     delta: int = 200,
     digest_col: str = "digest",
+    max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
 ) -> DataFrame:
     """Equal-frequency bucket id (0..n_buckets-1) per row from its
     group's digest quantiles — the balanced-output primitive: bucket on
@@ -850,15 +983,17 @@ def with_equidepth_bucket(
     delta up to interpolation). NULL/NaN values, and rows whose group
     has no digest, get a NULL bucket.
 
-    Scale shape: the digest table is O(groups x delta) — collected
-    once (bounded, same regime note as :func:`with_percentile_rank`),
+    Scale shape, AUTO-ROUTED like :func:`with_percentile_rank`: below
+    ``max_broadcast_groups`` the digest table is collected once,
     reduced driver-side to O(groups x n_buckets) cut arrays, and either
-    inlined as a literal (global) or broadcast-joined (grouped); the
-    assignment itself is a pure codegen array scan — NO Python stage
-    touches the rows, the plan stays whole-stage-codegen, and the rows
-    are never shuffled. Pass a precomputed ``digests`` table to skip
-    the build scan entirely (e.g. the same digests already maintained
-    by a :func:`~tdigest_spark.streaming.digest_stream.digest_sink`).
+    inlined as a literal (global) or broadcast-joined (grouped); above
+    it the cut arrays are computed DISTRIBUTEDLY (one mapInPandas over
+    the digest table, never collected) and shuffle-joined onto the rows
+    null-safely. Either way the assignment itself is a pure codegen
+    array scan — NO Python stage touches the rows. Pass a precomputed
+    ``digests`` table to skip the build scan entirely (e.g. the same
+    digests already maintained by a
+    :func:`~tdigest_spark.streaming.digest_stream.digest_sink`).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -866,14 +1001,6 @@ def with_equidepth_bucket(
     if digests is None:
         digests = tdigest_agg(rows, value_col, by=by, delta=delta, digest_col=digest_col)
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts: dict[tuple, list[float]] = {}
-    for r in digests.select(*by, digest_col).collect():
-        if r[digest_col] is None:
-            continue
-        d = TDigest.from_row(r[digest_col].asDict())
-        if d.total_weight <= 0:  # empty digest (e.g. all-NULL group)
-            continue
-        cuts[tuple(r[c] for c in by)] = [float(d.quantile(q)) for q in qs]
 
     v = F.col(value_col).cast("double")
     null_v = v.isNull() | F.isnan(v)
@@ -885,6 +1012,62 @@ def with_equidepth_bucket(
         return F.when(
             arr.isNotNull() & ~null_v, F.size(F.filter(arr, lambda c: v > c))
         ).otherwise(F.lit(None).cast("int"))
+
+    def join_cuts(cuts_df: DataFrame, broadcastable: bool) -> DataFrame:
+        # eqNullSafe per key: a NULL-keyed group must still find its
+        # cuts row (tdigest_agg DOES build a digest for the NULL
+        # group), matching the _null_nan_key policy of the other
+        # per-row scorers.
+        cond = None
+        for c in by:
+            clause = rows[c].eqNullSafe(cuts_df[f"__ck_{c}"])
+            cond = clause if cond is None else cond & clause
+        right = F.broadcast(cuts_df) if broadcastable else cuts_df
+        out = rows.join(right, cond, "left").withColumn(
+            bucket_col, assign(F.col("__cuts"))
+        )
+        return out.drop("__cuts", *[f"__ck_{c}" for c in by])
+
+    head = _digest_head(digests, by, digest_col, max_broadcast_groups)
+    if head is None:
+        if not by:
+            raise AssertionError("keyless digest table cannot exceed one row")
+        cut_schema = T.StructType(
+            [
+                T.StructField(f"__ck_{c}", digests.schema[c].dataType, True)
+                for c in by
+            ]
+            + [T.StructField("__cuts", T.ArrayType(T.DoubleType()), True)]
+        )
+
+        def to_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pd.DataFrame({f"__ck_{c}": pdf[c] for c in by})
+                arrs = []
+                for d in pdf[digest_col]:
+                    if d is None:
+                        arrs.append(None)
+                        continue
+                    td = TDigest.from_row(d)
+                    arrs.append(
+                        [float(td.quantile(q)) for q in qs]
+                        if td.total_weight > 0
+                        else None
+                    )
+                out["__cuts"] = arrs
+                yield out
+
+        cuts_df = digests.select(*by, digest_col).mapInPandas(to_cuts, cut_schema)
+        return join_cuts(cuts_df.where(F.col("__cuts").isNotNull()), False)
+
+    cuts: dict[tuple, list[float]] = {}
+    for r in head:
+        if r[digest_col] is None:
+            continue
+        d = TDigest.from_row(r[digest_col].asDict())
+        if d.total_weight <= 0:  # empty digest (e.g. all-NULL group)
+            continue
+        cuts[tuple(r[c] for c in by)] = [float(d.quantile(q)) for q in qs]
 
     if not by:
         arr = (
@@ -907,25 +1090,47 @@ def with_equidepth_bucket(
     cuts_df = spark.createDataFrame(
         [(*k, v_) for k, v_ in cuts.items()], cut_schema
     )
-    # eqNullSafe per key: a NULL-keyed group must still find its cuts
-    # row (tdigest_agg DOES build a digest for the NULL group), matching
-    # the _null_nan_key policy of the other per-row scorers.
-    cond = None
-    for c in by:
-        clause = rows[c].eqNullSafe(cuts_df[f"__ck_{c}"])
-        cond = clause if cond is None else cond & clause
-    out = rows.join(F.broadcast(cuts_df), cond, "left").withColumn(
-        bucket_col, assign(F.col("__cuts"))
-    )
-    return out.drop("__cuts", *[f"__ck_{c}" for c in by])
+    return join_cuts(cuts_df, True)
+
+
+class _NullKeySentinel:
+    """Pickle-stable NULL/NaN group-key stand-in for lookup dicts that
+    cross the driver->executor broadcast: ``hash(float('nan'))`` is
+    id-based on py3.10+, so a nan pickled into a broadcast never
+    hash-matches the executor-side nan and the lookup silently misses
+    (NULL-keyed rows then score NULL despite having a digest).
+    Unpickling this class returns the module singleton, so identity —
+    and therefore hash — survives the hop. Lookup-only: never emitted
+    into output (that is :func:`canon_key`'s float-NaN job)."""
+
+    __slots__ = ()
+
+    def __new__(cls):
+        inst = getattr(cls, "_inst", None)
+        if inst is None:
+            inst = super().__new__(cls)
+            cls._inst = inst
+        return inst
+
+    def __reduce__(self):
+        return (_NullKeySentinel, ())
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "<null-key>"
+
+
+_NULL_KEY = _NullKeySentinel()
 
 
 def _null_nan_key(key: tuple) -> tuple:
-    """canon_key plus None -> NaN-sentinel: a NULL numeric group key
+    """canon_key's lookup twin with None folded in: a NULL group key
     collects as None on the driver but surfaces as float NaN in a
-    pandas batch; both must hit the same dict slot."""
+    pandas batch; both must hit the same dict slot — including when
+    the dict was built on the driver and broadcast (see
+    :class:`_NullKeySentinel`)."""
     return tuple(
-        _NAN if k is None or (isinstance(k, float) and k != k) else k for k in key
+        _NULL_KEY if k is None or (isinstance(k, float) and k != k) else k
+        for k in key
     )
 
 

@@ -653,6 +653,61 @@ def test_with_percentile_rank(spark, events, sf_dir):
     assert scored2.loc[scored2["event_type"] != miss, "pct_rank"].notna().all()
 
 
+def test_scorers_join_path_parity(spark, events):
+    """Forcing max_broadcast_groups below the group count routes the
+    per-row scorers through the shuffle-join form — output must be
+    IDENTICAL to the broadcast form, including NULL group keys and
+    groups with no digest."""
+    import pandas as pd
+
+    from tdigest_spark.operators.digest_agg import (
+        quantile_normalize,
+        with_equidepth_bucket,
+        with_percentile_rank,
+    )
+
+    # inject a NULL-keyed group and keep one group digest-less
+    ev = events.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    dig = tdigest_agg(ev, "value", by=["event_type"], delta=LOSSLESS)
+    dig = dig.where(F.col("event_type").isNull() | (F.col("event_type") != "view"))
+
+    def cmp(fast_df, join_df, col):
+        a = fast_df.select("event_id", col).toPandas().sort_values("event_id")
+        b = join_df.select("event_id", col).toPandas().sort_values("event_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+    fast = with_percentile_rank(ev, dig, "value", by=["event_type"])
+    slow = with_percentile_rank(
+        ev, dig, "value", by=["event_type"], max_broadcast_groups=1
+    )
+    cmp(fast, slow, "pct_rank")
+    # NULL-keyed rows HAVE a digest -> both paths must actually score
+    # them (guards the pickle-stable sentinel: a broadcast nan key
+    # would silently miss), while the digest-less group scores NULL
+    fp = fast.select("event_type", "pct_rank").toPandas()
+    assert fp.loc[fp["event_type"].isna(), "pct_rank"].notna().all()
+    assert fp.loc[fp["event_type"] == "view", "pct_rank"].isna().all()
+
+    fast = with_equidepth_bucket(ev, "value", 4, by=["event_type"], digests=dig)
+    slow = with_equidepth_bucket(
+        ev, "value", 4, by=["event_type"], digests=dig, max_broadcast_groups=1
+    )
+    cmp(fast, slow, "bucket")
+
+    fast = quantile_normalize(ev, "value", by=["event_type"], delta=LOSSLESS)
+    slow = quantile_normalize(
+        ev, "value", by=["event_type"], delta=LOSSLESS, max_broadcast_groups=1
+    )
+    cmp(fast, slow, "normalized")
+
+
 def test_filter_percentile_range(spark, events):
     """Quantile trimming: kept rows equal the exact per-group rank
     window (lossless digests), boundary conventions match the mid-rank
