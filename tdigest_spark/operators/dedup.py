@@ -359,14 +359,20 @@ def connected_components(
     the corpus if needed. The keep-one-per-cluster policy is then
     ``where(id != component)`` = drop list.
 
-    Convergence: plain min-label propagation needs O(component
-    diameter) rounds (near-dup graphs are overwhelmingly tiny cliques,
-    so 2-3 rounds typically suffice); a graph with a path longer than
-    ``max_iters`` would exit early with SPLIT components, so that case
-    raises instead of returning silently wrong clusters.
+    Convergence: each round combines neighbor min-propagation with a
+    POINTER-SHORTCUT step (label <- label of own label, the
+    Shiloach-Vishkin move; cf. Kiveris et al., "Connected Components
+    in MapReduce and Beyond", for the same round-bounding idea), so
+    the distance from any node to its component min roughly HALVES per
+    round: rounds are O(log diameter), not O(diameter) — a 1000-link
+    crawl-dup chain (url -> url' -> url'' ...) converges in ~10 rounds
+    where plain propagation needs 1000. A component needing more than
+    ``max_iters`` rounds raises instead of returning silently split
+    clusters (default 20 rounds covers diameters beyond 2^20 — any
+    real graph).
 
-    Iteration hygiene (what makes 20+ rounds survive at scale): each
-    round's labels are eagerly localCheckpoint'ed — lineage is
+    Iteration hygiene (what makes repeated rounds survive at scale):
+    each round's labels are eagerly localCheckpoint'ed — lineage is
     truncated every round, so the plan never grows, and the superseded
     round's blocks are released immediately (executor storage stays
     O(|labels|), not O(rounds x |labels|)).
@@ -389,9 +395,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("c").alias("nc"))
         )
+        # shortcut: c(u) <- c(c(u)). Every label IS a node id (min of
+        # self/neighbors), so the self-join hits; left join only for
+        # safety at the fixpoint where c(u)=u rows always match anyway.
+        shortcut = labels.select(
+            F.col("u").alias("__lu"), F.col("c").alias("__lc")
+        )
         new_labels = (
             labels.join(prop, "u", "left")
-            .select("u", F.least("c", F.coalesce("nc", "c")).alias("c"))
+            .join(shortcut, F.col("c") == F.col("__lu"), "left")
+            .select(
+                "u",
+                F.least(
+                    "c", F.coalesce("nc", "c"), F.coalesce("__lc", "c")
+                ).alias("c"),
+            )
         )
         # eager checkpoint: truncates lineage (constant-size plan per
         # round) and materializes, so the superseded RDD can be freed

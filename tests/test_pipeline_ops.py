@@ -305,20 +305,27 @@ def test_lsh_neardup_degenerate_bucket_capped(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 25-node path needs ~23 propagation rounds: the checkpointed
-    loop must converge without plan blowup, and an insufficient
-    max_iters must RAISE (split components are never returned
-    silently)."""
+    """Pointer-shortcutting makes rounds O(log diameter): a 1000-node
+    path (plain propagation would need ~1000 rounds) must converge in
+    <= 12, the checkpointed loop must not blow up the plan, and an
+    insufficient max_iters must RAISE (split components are never
+    returned silently)."""
     from tdigest_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, max_iters=12).collect()
+    }
+    assert got == {i: 0 for i in range(1000)}
+
+    short = spark.createDataFrame(
         [(i, i + 1) for i in range(24)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["component"] for r in connected_components(chain, max_iters=30).collect()}
-    assert got == {i: 0 for i in range(25)}
-
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=5)
+        connected_components(short, max_iters=2)
 
 
 def test_ivf_index_persist_prune_and_exhaustive(spark, sf_dir, tmp_path):
