@@ -1405,6 +1405,95 @@ def tdigest_cube(
     return out
 
 
+def tdigest_grouping_sets(
+    df: DataFrame,
+    value_col: str,
+    sets: Sequence[Sequence[str]],
+    dims: Sequence[str] | None = None,
+    delta: int = 200,
+    digest_col: str = "digest",
+    gid_col: str = "grouping_id",
+) -> DataFrame:
+    """SQL ``GROUP BY GROUPING SETS (...)`` over digests without
+    rescanning — the arbitrary-subset generalization of
+    :func:`tdigest_rollup` / :func:`tdigest_cube`: finest-grain digests
+    over the union of all requested dimensions are built ONCE, then
+    each requested set derives by associative digest merge from its
+    smallest available superset (a computed sibling set when one
+    covers it, else the leaf — the same merge-input-shrinking lattice
+    descent as the cube).
+
+    Output matches SQL shape: the union of all dimensions as columns,
+    NULL marking an aggregated dimension, plus ``grouping_id`` = the
+    SQL GROUPING_ID bitmask (MSB = first dim, bit set when that dim is
+    aggregated) so genuinely-NULL keys stay distinguishable from
+    rolled-up ones. Duplicate sets emit duplicate rows, as in SQL."""
+    sets = [list(s) for s in sets]
+    if dims is None:
+        dims = []
+        for s in sets:
+            for c in s:
+                if c not in dims:
+                    dims.append(c)
+    dims = list(dims)
+    for s in sets:
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate column in grouping set {s}")
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"grouping set columns not in dims: {sorted(unknown)}")
+    if not dims:
+        raise ValueError("grouping sets need at least one dimension overall")
+
+    leaf = tdigest_agg(df, value_col, by=dims, delta=delta, digest_col=digest_col)
+    # one scan for every set; localCheckpoint (not persist) — see
+    # tdigest_cube for the storage-lifecycle rationale
+    leaf = leaf.localCheckpoint(eager=True)
+
+    # plan parents first (pure python): process sets largest-first so
+    # a big set can serve as merge input for the small ones it covers
+    order = sorted(range(len(sets)), key=lambda i: -len(sets[i]))
+    avail: set[frozenset] = {frozenset(dims)}
+    parent_for: dict[int, frozenset] = {}
+    for i in order:
+        s = frozenset(sets[i])
+        supers = [a for a in avail if s <= a]
+        parent_for[i] = min(supers, key=len)
+        avail.add(s)
+    reused = {p for i, p in parent_for.items() if p != frozenset(sets[i])}
+
+    computed: dict[frozenset, DataFrame] = {frozenset(dims): leaf}
+    results: dict[int, DataFrame] = {}
+    for i in order:
+        key = frozenset(sets[i])
+        if key in computed:
+            results[i] = computed[key]
+            continue
+        parent = computed[parent_for[i]]
+        lvl = tdigest_merge_agg_sql(
+            parent.select(*sets[i], digest_col), by=sets[i], digest_col=digest_col
+        )
+        if key in reused:
+            lvl = lvl.localCheckpoint(eager=True)
+        computed[key] = lvl
+        results[i] = lvl
+
+    out = None
+    for i, s in enumerate(sets):
+        lvl = results[i]
+        gid = sum(
+            1 << (len(dims) - 1 - j) for j, dim in enumerate(dims) if dim not in s
+        )
+        for dim in dims:
+            if dim not in s:
+                lvl = lvl.withColumn(dim, F.lit(None).cast(leaf.schema[dim].dataType))
+        lvl = lvl.select(
+            *dims, F.lit(gid).cast("int").alias(gid_col), digest_col
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 def tdigest_rollup(
     df: DataFrame,
     value_col: str,

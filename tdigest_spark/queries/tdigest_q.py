@@ -196,15 +196,57 @@ def td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(l_returnflag, l_linestatus) medians derived by digest merge
     from the leaf level — the full 2^d subset lattice from one scan
-    (exact when lossless, matching SQL CUBE + quantile_cont)."""
-    from tdigest_spark.operators.digest_agg import tdigest_cube
+    (exact when lossless, matching SQL CUBE + quantile_cont) — PLUS a
+    GROUPING SETS leg (consolidated under the 50-row cap): arbitrary
+    non-lattice sets ((l_returnflag, l_linenumber), (l_linestatus), ())
+    over three dimensions, each derived by merge from its smallest
+    computed superset, with the SQL GROUPING_ID bitmask carried so
+    rolled-up NULLs stay distinguishable. Tagged by ``leg``."""
+    from tdigest_spark.operators.digest_agg import (
+        tdigest_cube,
+        tdigest_grouping_sets,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     cubed = tdigest_cube(
         li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=LOSSLESS
     )
-    out = tdigest_stats(cubed, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
-    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
+    cube_stats = tdigest_stats(cubed, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    cube_out = (
+        _round(cube_stats, {"p50": 4})
+        .withColumn("n", F.col("n").cast("long"))
+        .select(
+            F.lit("cube").alias("leg"),
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(None).cast("int").alias("l_linenumber"),
+            F.lit(None).cast("int").alias("gid"),
+            "p50",
+            "n",
+        )
+    )
+    gsets = tdigest_grouping_sets(
+        li,
+        "l_extendedprice",
+        sets=[["l_returnflag", "l_linenumber"], ["l_linestatus"], []],
+        dims=["l_returnflag", "l_linestatus", "l_linenumber"],
+        delta=LOSSLESS,
+    )
+    gs_stats = tdigest_stats(gsets, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    gs_out = (
+        _round(gs_stats, {"p50": 4})
+        .withColumn("n", F.col("n").cast("long"))
+        .select(
+            F.lit("gsets").alias("leg"),
+            "l_returnflag",
+            "l_linestatus",
+            "l_linenumber",
+            F.col("grouping_id").alias("gid"),
+            "p50",
+            "n",
+        )
+    )
+    return cube_out.unionByName(gs_out)
 
 
 def td_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,11 +571,21 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "td_cube_lineitem": """
-        SELECT l_returnflag, l_linestatus,
+        SELECT 'cube' AS leg, l_returnflag, l_linestatus,
+               CAST(NULL AS INT) AS l_linenumber,
+               CAST(NULL AS INT) AS gid,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                count(l_extendedprice) AS n
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'gsets' AS leg, l_returnflag, l_linestatus, l_linenumber,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(l_linenumber) AS INT) AS gid,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               count(l_extendedprice) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linenumber), (l_linestatus), ())
     """,
     "td_weighted_lineitem": """
         WITH p AS (

@@ -653,6 +653,66 @@ def test_with_percentile_rank(spark, events, sf_dir):
     assert scored2.loc[scored2["event_type"] != miss, "pct_rank"].notna().all()
 
 
+def test_grouping_sets_matches_sql(spark, sf_dir):
+    """tdigest_grouping_sets vs SQL GROUP BY GROUPING SETS +
+    quantile_cont (lossless, exact), including: a NULL-holding
+    dimension (GROUPING_ID distinguishes rolled-up NULL from data
+    NULL), a set served by a SIBLING superset rather than the leaf,
+    the grand-total set, and duplicate sets emitting duplicate rows."""
+    from tdigest_spark.operators.digest_agg import tdigest_grouping_sets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        (F.col("event_id") % 3).cast("int").alias("b1"),
+        (F.col("event_id") % 2).cast("int").alias("b2"),
+        "value",
+    )
+    sets = [["et", "b1", "b2"], ["et", "b1"], ["b1"], [], ["b1"]]
+    got = tdigest_grouping_sets(ev, "value", sets=sets, delta=LOSSLESS)
+    stats = tdigest_stats(got, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    gp = sorted(
+        (
+            (r["et"], r["b1"], r["b2"], r["grouping_id"], int(r["n"]), round(r["p50"], 6))
+            for r in stats.collect()
+        ),
+        key=nkey,
+    )
+    ref = duckdb.sql(
+        f"""
+        SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+               event_id % 3 AS b1, event_id % 2 AS b2,
+               GROUPING(et) * 4 + GROUPING(b1) * 2 + GROUPING(b2) AS gid,
+               count(value) AS n, quantile_cont(value, 0.5) AS p50
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY GROUPING SETS ((et, b1, b2), (et, b1), (b1), (), (b1))
+        """
+    ).fetchall()
+    want = [
+        (
+            et,
+            None if b1 is None else int(b1),
+            None if b2 is None else int(b2),
+            int(gid),
+            int(n),
+            round(p50, 6),
+        )
+        for et, b1, b2, gid, n, p50 in ref
+    ]
+    want = sorted(want, key=nkey)
+    assert len(gp) == len(want)
+    for g, w in zip(gp, want):
+        assert g[:5] == w[:5], (g, w)
+        assert g[5] == pytest.approx(w[5], abs=1e-6)
+
+    with pytest.raises(ValueError, match="not in dims"):
+        tdigest_grouping_sets(ev, "value", sets=[["b1"]], dims=["b2"])
+    with pytest.raises(ValueError, match="duplicate column"):
+        tdigest_grouping_sets(ev, "value", sets=[["b1", "b1"]])
+
+
 def test_scorers_join_path_parity(spark, events):
     """Forcing max_broadcast_groups below the group count routes the
     per-row scorers through the shuffle-join form — output must be
