@@ -645,3 +645,141 @@ def test_drift_monitor_scores_alerts_and_replays(spark, sf_dir, tmp_path):
     again = spark.read.parquet(log).collect()
     assert len(again) == len(rows)
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_stateful_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel state == batch funnel_steps when each key's
+    events arrive in time order (the documented greedy-state regime):
+    chunks split by TIME, final per-key row compared exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.funnel import funnel_steps
+    from tdigest_spark.streaming.funnel_stream import stateful_funnel_stream
+
+    rng = np.random.default_rng(5)
+    steps = ["visit", "signup", "purchase"]
+    rows = []
+    for u in range(60):
+        for i in range(rng.integers(1, 12)):
+            rows.append(
+                (
+                    f"u{u}",
+                    steps[int(rng.integers(0, 3))],
+                    float(1_700_000_000 + rng.integers(0, 100_000)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["user", "step", "ep"]).sort_values("ep")
+    d = tmp_path / "src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(pdf.iloc[chunk]).withColumn(
+            "ts", F.col("ep").cast("timestamp")
+        ).drop("ep").coalesce(1).write.parquet(str(d / f"chunk={i}"))
+
+    stream = (
+        spark.readStream.schema("user string, step string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk=*")
+    )
+    out = stateful_funnel_stream(stream, "step", steps, "ts", by="user")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emission per key = the final state
+    got = {
+        r["user"]: r
+        for r in spark.sql(
+            """SELECT * FROM funnel_stream
+               WHERE (user, steps_completed) IN
+                 (SELECT user, max(steps_completed) FROM funnel_stream GROUP BY user)"""
+        ).collect()
+    }
+
+    batch_src = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ep").cast("timestamp")
+    )
+    want = {
+        r["user"]: r
+        for r in funnel_steps(batch_src, "step", steps, "ts", by="user").collect()
+    }
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert g["steps_completed"] == w["steps_completed"], u
+        for j in range(1, 4):
+            assert g[f"t_step_{j}"] == w[f"t_step_{j}"], (u, j)
+
+
+def test_retention_stream_matches_batch_any_order(spark, tmp_path):
+    """Streaming retention pairs are order-INSENSITIVE: delivery is
+    deliberately shuffled across micro-batches, and
+    retention_report(sink) must equal cohort_retention(batch) exactly.
+    Also checks exactly-once emission of each (key, period) pair."""
+    import numpy as np
+    import pandas as pd
+
+    from tdigest_spark.operators.retention import cohort_retention
+    from tdigest_spark.streaming.retention_stream import (
+        retention_pairs_stream,
+        retention_report,
+    )
+
+    rng = np.random.default_rng(9)
+    period = 86_400
+    rows = []
+    for u in range(80):
+        start = int(rng.integers(0, 5))
+        for o in sorted(set(rng.integers(0, 10, size=rng.integers(1, 8)))):
+            for _ in range(int(rng.integers(1, 4))):  # duplicate events
+                rows.append(
+                    (
+                        f"u{u}",
+                        float(
+                            1_700_000_000
+                            + (start + o) * period
+                            + rng.integers(0, period)
+                        ),
+                    )
+                )
+    pdf = pd.DataFrame(rows, columns=["user_id", "ep"])
+    pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)  # shuffle
+    d = tmp_path / "src"
+    for i, chunk in enumerate(np.array_split(np.arange(len(pdf)), 4)):
+        spark.createDataFrame(pdf.iloc[chunk]).withColumn(
+            "ts", F.col("ep").cast("timestamp")
+        ).drop("ep").coalesce(1).write.parquet(str(d / f"chunk={i}"))
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk=*")
+    )
+    pairs = retention_pairs_stream(stream, "ts", key="user_id", period_sec=period)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ret_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table("ret_pairs")
+    # exactly-once: no (key, period) pair appears twice
+    assert sink.count() == sink.select("__k", "period").distinct().count()
+
+    got = retention_report(sink, period_sec=period).toPandas()
+    batch_src = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ep").cast("timestamp")
+    )
+    want = cohort_retention(batch_src, "ts", key="user_id", period_sec=period).toPandas()
+    key = ["cohort_start", "offset"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[w.columns], w)
