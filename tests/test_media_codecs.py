@@ -173,3 +173,19 @@ def test_decode_matches_generator_formulas():
         i = np.arange(d["n_samples"])
         expect = ((mid * 31 + i * 17) % 4096) - 2048
         assert np.array_equal(dec.astype(np.int64), expect)
+
+
+def test_png_matches_pil_when_available():
+    """Independent-decoder cross-check: PIL (when installed) must read
+    our PNG bytes to the same pixels, and our decoder must read
+    PIL-written PNGs. Skipped in sandboxes without PIL."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    theirs = np.asarray(PIL.open(io.BytesIO(png_encode(img, "cycle"))))
+    assert np.array_equal(theirs, img)
+    buf = io.BytesIO()
+    PIL.fromarray(img, mode="L").save(buf, format="PNG")
+    assert np.array_equal(png_decode(buf.getvalue()), img)
