@@ -207,15 +207,22 @@ def session_stats(
     gap_sec: float,
     by: str | Sequence[str],
     aggs: Mapping[str, Column] | None = None,
+    max_rows_per_key: int | None = None,
+    time_bucket_sec: float = 3600.0,
 ) -> DataFrame:
     """One row per session: keys, ``session_idx``, start/end,
     ``duration_sec``, ``n_events``, plus any extra ``aggs`` (name ->
     aggregate Column). Builds on :func:`sessionize`; the groupBy
     re-uses the window shuffle's partitioning, so Catalyst plans a
     partial+final aggregate with no second full shuffle of raw rows.
-    NULL-timestamp rows (NULL session) are excluded."""
+    NULL-timestamp rows (NULL session) are excluded.
+    ``max_rows_per_key``/``time_bucket_sec`` pass through to
+    :func:`sessionize`'s heavy-key skew routing."""
     by = [by] if isinstance(by, str) else list(by)
-    sess = sessionize(df, ts_col, gap_sec, by)
+    sess = sessionize(
+        df, ts_col, gap_sec, by,
+        max_rows_per_key=max_rows_per_key, time_bucket_sec=time_bucket_sec,
+    )
     ts = F.col(ts_col).cast("timestamp")
     extra = [col.alias(name) for name, col in (aggs or {}).items()]
     return (

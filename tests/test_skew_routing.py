@@ -148,3 +148,21 @@ def test_key_string_null_vs_empty(spark):
     df = spark.createDataFrame([(None,), ("",)], "k string")
     got = {r["s"] for r in df.select(key_string(["k"]).alias("s")).collect()}
     assert len(got) == 2
+
+
+def test_session_stats_skew_routed_parity(spark):
+    """session_stats passes the routing through: per-session aggregate
+    rows identical with and without a forced low budget."""
+    import pandas as pd
+
+    from tdigest_spark.operators.sessionize import session_stats
+
+    ev = _events(spark)
+    plain = session_stats(ev, "ts", 300.0, "user").toPandas()
+    routed = session_stats(
+        ev, "ts", 300.0, "user", max_rows_per_key=100, time_bucket_sec=1800.0
+    ).toPandas()
+    key = ["user", "session_idx"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = routed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
