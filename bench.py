@@ -392,17 +392,23 @@ def run_scaling(
         return round(time.perf_counter() - t0, 3)
 
     e2e_rounds = []
+    e2e_net_rounds = []
     e2e_loads = []
     floor_hi = []
+    floor_lo = []
     best_eff = -1.0
+    best_net = None
     s_lo = s_hi = None
+    best_fl = None
     for rnd in range(3):
         e2e_loads.append(_wait_for_quiet(max_wait=0 if rnd == 0 else 120))
         # the floor probe is the RELIABLE stall detector (load average
         # is not: floors observed at load 1.7): if the pass-through is
         # 3x its good-window time, the whole leg pair would be
         # floor-bound — wait out the stall (bounded) before burning a
-        # round. Every probe lands in the artifact.
+        # round. Every probe lands in the artifact, at BOTH task
+        # counts: the floor is what gets SUBTRACTED below, so it must
+        # be measured where it is spent.
         fl = _floor(hi_tasks)
         for _ in range(3):
             if fl <= FLOOR_GOOD_SEC * rows / SCALE_ROWS:
@@ -410,6 +416,7 @@ def run_scaling(
             time.sleep(20)
             fl = _floor(hi_tasks)
         floor_hi.append(fl)
+        floor_lo.append(_floor(lo_tasks))
         t_lo, t_hi = [], []
         for _ in range(trials):
             t0 = time.perf_counter()
@@ -421,9 +428,21 @@ def run_scaling(
         r_lo, r_hi = min(t_lo), min(t_hi)
         eff = round((r_lo / r_hi) / ratio, 3)
         e2e_rounds.append(eff)
+        # floor-netted compute efficiency: subtract each leg's measured
+        # Arrow/pass-through floor so the ratio compares SKETCH COMPUTE
+        # seconds. Only meaningful when compute is a real share of the
+        # wall (>= 30% on both legs) — a floor-bound leg pair yields
+        # null, never a number that can only mislead (r3 verdict #2).
+        c_lo, c_hi = r_lo - floor_lo[-1], r_hi - floor_hi[-1]
+        valid = c_lo >= 0.3 * r_lo and c_hi >= 0.3 * r_hi and c_hi > 0
+        net = round((c_lo / c_hi) / ratio, 3) if valid else None
+        e2e_net_rounds.append(net)
+        if net is not None and (best_net is None or net > best_net):
+            best_net = net
         if eff > best_eff:
             best_eff, s_lo, s_hi = eff, r_lo, r_hi
-        if eff >= 0.8:
+            best_fl = (floor_lo[-1], floor_hi[-1])
+        if eff >= 0.8 or (net is not None and net >= 0.8):
             break
     spark.stop()
     kernel = kernel_scaling(
@@ -439,24 +458,34 @@ def run_scaling(
         "sec_hi": round(s_hi, 3),
         "rows_per_sec_lo": round(rows / s_lo, 1),
         "rows_per_sec_hi": round(rows / s_hi, 1),
-        # two efficiencies, named for what they measure: local-mode e2e
-        # runs both legs inside ONE shared JVM (GC, codegen cache and
-        # memory bandwidth are common to all tasks — a known local-mode
-        # artifact, isolated by a pure-JVM control in BENCH.md §2), so
-        # the executor-process analog is the process-parallel kernel
-        # figure; a real N vs 4N executor run shards both.
+        # three efficiencies, named for what they measure:
+        # - e2e_shared_jvm: raw wall ratio inside ONE shared JVM (GC,
+        #   codegen cache, memory bandwidth common to all tasks — a
+        #   known local-mode artifact, isolated by a pure-JVM control
+        #   in BENCH.md §2). Kept for continuity; floor-dominated.
+        # - e2e_compute: the wall ratio AFTER subtracting each leg's
+        #   measured Arrow/pass-through floor — sketch COMPUTE seconds
+        #   only; null whenever compute was under 30% of either leg's
+        #   wall (a floor-bound pair cannot yield a meaningful figure).
+        # - process_parallel: per-process kernel (no shared JVM, no
+        #   Arrow pipe) — the N-vs-4N-executor analog and the scaling
+        #   figure of record.
         "efficiency_e2e_shared_jvm": round((s_lo / s_hi) / ratio, 3),
+        "efficiency_e2e_compute": best_net,
         "e2e_rounds": e2e_rounds,
+        "e2e_net_rounds": e2e_net_rounds,
         "e2e_load_avg_per_round": e2e_loads,
-        # pass-through (no sketch work) time at hi tasks per round: the
-        # Arrow-transfer floor. e2e sec_hi ~= this floor means the e2e
-        # capture is IPC-floor-bound (host contention), not engine-bound
+        # pass-through (no sketch work) time per round at each task
+        # count: the Arrow-transfer floor actually subtracted above
         "arrow_floor_sec_hi_per_round": floor_hi,
+        "arrow_floor_sec_lo_per_round": floor_lo,
+        "floor_lo_best": None if best_fl is None else best_fl[0],
+        "floor_hi_best": None if best_fl is None else best_fl[1],
         # True when the floor probe NEVER cleared its good-window gate
         # in any round: every e2e leg then measured the host's Arrow
-        # IPC stall, not the engine — read efficiency_process_parallel
-        # (per-process, no shared JVM, no Arrow pipe) as the scaling
-        # figure of record for such a capture
+        # IPC stall, not the engine — efficiency_e2e_compute is null in
+        # that case and efficiency_process_parallel is the figure of
+        # record
         "e2e_floor_stalled": bool(
             min(floor_hi) > FLOOR_GOOD_SEC * rows / SCALE_ROWS
         ),
