@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "chunk_documents_tokens"]
 
 
 def chunk_documents(
@@ -65,3 +65,58 @@ def chunk_documents(
     return out.withColumn("chunk_start", start).withColumn(
         chunk_col, t.substr(start, F.lit(int(chunk_chars)))
     )
+
+
+def chunk_documents_tokens(
+    df: DataFrame,
+    text_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Token-window chunking: windows of ``chunk_tokens`` WHITESPACE
+    tokens starting every ``chunk_tokens - overlap_tokens`` tokens — so
+    every chunk's ``token_count(mode="whitespace")`` is <= the budget
+    by construction (the budget wiring for
+    :func:`~tdigest_spark.operators.packing.pack_sequences`; for
+    subword/BPE budgets, count the emitted chunks with the matching
+    ``token_count`` mode — a whitespace window is the splittable unit
+    either way, since subword tokenizers never merge across
+    whitespace).
+
+    Still pure codegen and shuffle-free: ``split`` -> ``explode`` of
+    window indices -> ``slice`` + ``array_join``. Consecutive-space
+    runs round-trip exactly (split/join of the empty tokens restores
+    them), so concatenating chunks at stride offsets reproduces the
+    document. NULL texts yield one row with a NULL chunk."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got {overlap_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n = F.greatest(
+        F.lit(1),
+        (
+            F.lit(1)
+            + F.ceil(
+                F.greatest(F.lit(0), n_tok - F.lit(chunk_tokens)) / F.lit(stride)
+            )
+        ).cast("int"),
+    )
+    out = df.withColumn("n_tokens_doc", F.greatest(n_tok, F.lit(0))).withColumn(
+        "n_chunks", F.coalesce(n, F.lit(1))
+    )
+    out = out.withColumn(
+        idx_col, F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+    )
+    start = (F.col(idx_col) * stride + 1).cast("int")
+    sliced = F.slice(toks, start, F.lit(int(chunk_tokens)))
+    return out.withColumn("chunk_token_start", start).withColumn(
+        chunk_col,
+        F.when(F.col(text_col).isNotNull(), F.array_join(sliced, " ")),
+    ).withColumn("chunk_n_tokens", F.when(F.col(text_col).isNotNull(), F.size(sliced)))

@@ -110,3 +110,55 @@ def test_chunk_then_pack_pipeline(spark, sf_dir):
     assert over == 0  # only oversized singleton chunks may exceed
     assert packed.count() == chunks.count()  # exactly-once
     assert packed.select("chunk_id").distinct().count() == chunks.count()
+
+
+def test_chunk_documents_tokens_budget_and_reassembly(spark):
+    """Token-window chunking: every chunk respects the whitespace token
+    budget by construction, non-overlapped slices reassemble the
+    document exactly (including multi-space runs), and counts match a
+    DuckDB twin."""
+    import duckdb
+
+    from tdigest_spark.functions.textstats import token_count
+    from tdigest_spark.operators.chunking import chunk_documents_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "one"),
+            (2, "a  b   c d e f g h"),  # multi-space runs must round-trip
+            (3, None),
+            (4, " ".join(f"t{i}" for i in range(57))),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents_tokens(docs, "text", chunk_tokens=8, overlap_tokens=2)
+    pdf = (
+        chunks.withColumn("wc", token_count(F.col("chunk")))
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    # budget: every chunk within the token budget
+    ok = pdf[pdf["chunk"].notna()]
+    assert (ok["wc"] <= 8).all()
+    assert (ok["wc"] == ok["chunk_n_tokens"]).all()
+    # NULL text -> one row, NULL chunk
+    nrow = pdf[pdf["doc_id"] == 3]
+    assert len(nrow) == 1 and nrow["chunk"].isna().all()
+    # exact reassembly from stride-aligned prefixes (drop the overlap
+    # from every chunk after the first)
+    for did, g in pdf[pdf["chunk"].notna()].groupby("doc_id"):
+        toks = []
+        for i, (_, r) in enumerate(g.iterrows()):
+            ts = r["chunk"].split(" ")
+            toks.extend(ts if i == 0 else ts[2:])
+        orig = docs.where(F.col("doc_id") == did).collect()[0]["text"]
+        assert " ".join(toks) == orig, did
+    # chunk-count twin in DuckDB
+    con = duckdb.connect()
+    for did, text in [(0, 12), (1, 1), (4, 57)]:
+        n = int(pdf[pdf["doc_id"] == did]["n_chunks"].iloc[0])
+        (want,) = con.execute(
+            "SELECT greatest(1, 1 + ceil(greatest(0, ? - 8) / 6.0)::INT)", [text]
+        ).fetchone()
+        assert n == want, did
