@@ -20,11 +20,18 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consolidates round-1's per-doc tx_fingerprints under the 50-row
     driver cap — any single doc's fingerprint changing flips
     fp_checksum, so the evidence strength is preserved; fingerprints
-    are mod 2^31, so the BIGINT sum cannot overflow)."""
-    docs = with_text_stats(load(spark, sf_dir, "documents"))
+    are mod 2^31, so the BIGINT sum cannot overflow). Round 4 adds
+    ``sum_subword_mode`` — the ``token_count(mode="subword")`` fidelity
+    level, hash-checked against its DuckDB twin."""
+    from tdigest_spark.functions.textstats import token_count
+
+    docs = with_text_stats(load(spark, sf_dir, "documents")).withColumn(
+        "n_sub_mode", token_count(F.col("text"), mode="subword")
+    )
     return docs.groupBy("lang").agg(
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.sum("n_subwords").cast("long").alias("sum_subwords"),
+        F.sum("n_sub_mode").cast("long").alias("sum_subword_mode"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum("fingerprint").cast("long").alias("fp_checksum"),
         F.countDistinct("fingerprint").alias("n_fp_distinct"),
@@ -73,6 +80,10 @@ def _sw_hits(lang: str) -> str:
 
 _NTOK = "len(string_split(text, ' '))"
 _NSUB = "len(string_split_regex(text, '[aeiou]+')) - 1"
+# token_count(mode="subword") twin: per-token greatest(1, vowel groups)
+from tdigest_spark.functions.textstats import SUBWORD_COUNT_DUCKDB as _SUBMODE_T
+
+_SUBMODE = _SUBMODE_T.format(col="text")
 _MEANLEN = f"length(replace(text, ' ', ''))::DOUBLE / {_NTOK}"
 _QUALITY = (
     f"(CASE WHEN {_NTOK} BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END"
@@ -99,6 +110,7 @@ ORACLES = {
         SELECT lang,
                sum({_NTOK})::BIGINT AS sum_tokens,
                sum({_NSUB})::BIGINT AS sum_subwords,
+               sum({_SUBMODE})::BIGINT AS sum_subword_mode,
                round(avg(length(text)), 4) AS avg_chars,
                sum({_FP})::BIGINT AS fp_checksum,
                count(DISTINCT {_FP}) AS n_fp_distinct
