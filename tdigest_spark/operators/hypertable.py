@@ -20,6 +20,22 @@ replay idempotence without a streaming checkpoint:
   multiple of the bucket: merge O(window/bucket) digest rows per
   output row, all from the rollup table.
 
+- ``hypertable_downsample`` — tiered retention policy (the
+  TimescaleDB/Influx shape): buckets older than each tier's age are
+  MERGED into coarser buckets (day -> week -> month), buckets past
+  ``drop_older_than`` are removed. Mergeability makes the whole pass a
+  sketch-sized job — raw data is never revisited, and the table gets
+  SMALLER with age instead of growing without bound.
+
+Granularity tracking: the first downsample adds a ``bucket_sec``
+column recording each row's bucket width (rows at the base width get
+the base value). ``hypertable_window_stats`` validates every row's
+width divides the requested window before merging; ``hypertable_upsert``
+keeps the column alive — late data landing in an already-coarsened
+region merges ADDITIVELY (digest union covers every raw row exactly
+once, so window stats stay correct; the merged row keeps the coarsest
+contributing width).
+
 At 100 TB: the ingest scans only the new raw partitions; the rollup
 table itself stays O(buckets x groups) rows forever, so the
 maintenance merge and every window query are sketch-sized jobs.
@@ -42,7 +58,12 @@ from tdigest_spark.streaming.digest_stream import (
     _split_touched,
 )
 
-__all__ = ["hypertable_upsert", "hypertable_window_stats", "time_bucket"]
+__all__ = [
+    "hypertable_downsample",
+    "hypertable_upsert",
+    "hypertable_window_stats",
+    "time_bucket",
+]
 
 
 def time_bucket(ts_col: str, bucket_sec: int, out_col: str = "bucket_start"):
@@ -53,6 +74,149 @@ def time_bucket(ts_col: str, bucket_sec: int, out_col: str = "bucket_start"):
         .cast("timestamp")
         .alias(out_col)
     )
+
+
+def _epoch(as_of) -> float:
+    """``as_of`` (epoch seconds, ISO string, or datetime; naive values
+    read as UTC) -> epoch seconds. Explicit-parameter design: retention
+    decisions must be reproducible, never wall-clock-implicit."""
+    from datetime import datetime, timezone
+
+    if isinstance(as_of, bool):
+        raise TypeError("as_of must be epoch seconds, ISO string, or datetime")
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    if isinstance(as_of, str):
+        as_of = datetime.fromisoformat(as_of)
+    if isinstance(as_of, datetime):
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=timezone.utc)
+        return as_of.timestamp()
+    raise TypeError("as_of must be epoch seconds, ISO string, or datetime")
+
+
+def _nullsafe_inner(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Inner join on ``keys`` with NULL == NULL (group keys may be NULL;
+    a plain equi-join would silently drop those groups). Right-side key
+    duplicates removed."""
+    # prefix the right-side keys: both inputs often derive from the
+    # same plan, and lineage-based column refs would be ambiguous
+    right = right.withColumnsRenamed({c: f"_r_{c}" for c in keys})
+    cond = None
+    for c in keys:
+        eq = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = eq if cond is None else cond & eq
+    return left.join(right, cond, "inner").drop(*[f"_r_{c}" for c in keys])
+
+
+def _merge_with_widths(union: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge digests per key group and carry the coarsest contributing
+    ``bucket_sec`` (late data merged into an already-coarsened bucket
+    keeps that bucket's width — the digest union still covers every raw
+    row exactly once, so window stats stay correct)."""
+    digests = tdigest_merge_agg(union.drop("bucket_sec"), by=keys)
+    widths = union.groupBy(*keys).agg(F.max("bucket_sec").alias("bucket_sec"))
+    return _nullsafe_inner(digests, widths, keys)
+
+
+def hypertable_downsample(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    as_of,
+    tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
+    drop_older_than: float | None = None,
+    ingest_id: int | None = None,
+) -> int | None:
+    """Apply a tiered retention policy to the rollup table: rows whose
+    ENTIRE target coarse bucket is older than a tier's age (relative to
+    ``as_of``) are re-bucketed at that tier's width and merged; rows
+    whose bucket ends before ``as_of - drop_older_than`` are removed.
+
+    ``tiers`` is ``[(age_sec, width_sec), ...]`` (or a mapping): "once a
+    bucket is ``age_sec`` old, hold it at ``width_sec`` granularity".
+    The coarsest applicable tier wins. Each width must be a positive
+    multiple of ``bucket_sec``, and widths must increase with age (a
+    finer tier at an older age could never apply — reject it loudly).
+
+    A row coarsens into width W only when ``floor(start/W)*W + W <=
+    as_of - age`` — i.e. the whole target bucket is past the threshold,
+    so it can never receive on-time data again (late data still merges
+    additively via ``hypertable_upsert``). Rows are digests, so the
+    merge is a sketch-sized groupBy over the rollup table; raw data is
+    never revisited.
+
+    Commits as its own ingest id on the snapshot pointer (returned;
+    ``None`` if ``ingest_id`` was already committed — replay no-op).
+    Mixing explicit-id upserts with downsamples: account for the id the
+    downsample consumes, or pass ids explicitly everywhere.
+    """
+    if isinstance(tiers, Mapping):
+        tiers = list(tiers.items())
+    tiers = sorted((float(a), int(w)) for a, w in tiers)
+    prev_w = int(bucket_sec)
+    for age, width in tiers:
+        if width <= 0 or width % int(bucket_sec) != 0:
+            raise ValueError(
+                f"tier width {width} must be a positive multiple of "
+                f"bucket_sec ({bucket_sec})"
+            )
+        if width <= prev_w:
+            raise ValueError(
+                "tier widths must strictly increase with age "
+                f"(got width {width} at age {age} after width {prev_w})"
+            )
+        prev_w = width
+    last = _last_committed_batch(table_dir)
+    if last is None:
+        raise ValueError(f"hypertable_downsample: no table at {table_dir!r}")
+    if ingest_id is None:
+        ingest_id = last + 1
+    if ingest_id <= last:
+        return None
+    now = _epoch(as_of)
+
+    t = spark.read.parquet(table_dir)
+    keys = [c for c in t.columns if c not in ("bucket_start", "digest", "bucket_sec")]
+    if "bucket_sec" not in t.columns:
+        t = t.withColumn("bucket_sec", F.lit(int(bucket_sec)).cast("long"))
+    start = F.col("bucket_start").cast("double")
+    if drop_older_than is not None:
+        t = t.filter(start + F.col("bucket_sec") > F.lit(now - float(drop_older_than)))
+
+    # coarsest applicable tier per row (ascending build -> coarsest
+    # tested first in the final expression); never refine an
+    # already-coarser row
+    width_expr = F.col("bucket_sec")
+    for age, width in tiers:
+        tgt_start = F.floor(start / F.lit(width)) * F.lit(width)
+        eligible = (tgt_start + F.lit(width) <= F.lit(now - age)) & (
+            F.col("bucket_sec") < F.lit(width)
+        )
+        width_expr = F.when(eligible, F.lit(width).cast("long")).otherwise(width_expr)
+    t = t.withColumn("_new_sec", width_expr).withColumn(
+        "_new_start",
+        (F.floor(start / F.col("_new_sec")) * F.col("_new_sec")).cast("timestamp"),
+    )
+    changed = (
+        t.filter(F.col("_new_sec") != F.col("bucket_sec"))
+        .drop("bucket_start", "bucket_sec")
+        .withColumnsRenamed({"_new_start": "bucket_start", "_new_sec": "bucket_sec"})
+    )
+    unchanged = t.filter(F.col("_new_sec") == F.col("bucket_sec")).drop(
+        "_new_start", "_new_sec"
+    )
+    # only key groups a changed row lands on pay the merge (a re-run
+    # can fold newly-old base rows into an existing coarse row)
+    group_keys = ["bucket_start", *keys]
+    changed = changed.localCheckpoint(eager=True)
+    ks = changed.select(*group_keys).distinct()
+    touched, untouched = _split_touched(unchanged, ks, group_keys)
+    merged = _merge_with_widths(
+        touched.unionByName(changed.select(*touched.columns)), group_keys
+    ).unionByName(untouched)
+    _commit_snapshot(merged.select(*untouched.columns), table_dir, ingest_id)
+    return ingest_id
 
 
 def hypertable_upsert(
@@ -88,9 +252,18 @@ def hypertable_upsert(
         old = spark.read.parquet(table_dir)
         ks = new.select(*keys).distinct()
         touched, untouched = _split_touched(old, ks, keys)
-        merged = tdigest_merge_agg(
-            touched.unionByName(new), by=keys
-        ).unionByName(untouched)
+        if "bucket_sec" in old.columns:
+            # downsampled table: keep per-row granularity alive
+            new = new.withColumn(
+                "bucket_sec", F.lit(int(bucket_sec)).cast("long")
+            )
+            merged = _merge_with_widths(
+                touched.unionByName(new), keys
+            ).unionByName(untouched)
+        else:
+            merged = tdigest_merge_agg(
+                touched.unionByName(new), by=keys
+            ).unionByName(untouched)
     else:
         merged = new
     _commit_snapshot(merged, table_dir, ingest_id)
@@ -114,6 +287,17 @@ def hypertable_window_stats(
             f"bucket_sec ({bucket_sec})"
         )
     t = spark.read.parquet(table_dir)
+    if "bucket_sec" in t.columns:
+        # downsampled table: every row's width must divide the window
+        # (the distinct set is O(#tiers) — bounded by construction)
+        widths = [r[0] for r in t.select("bucket_sec").distinct().collect()]
+        bad = sorted(w for w in widths if window_sec % w != 0)
+        if bad:
+            raise ValueError(
+                f"window_sec ({window_sec}) must be a multiple of every "
+                f"row's bucket width; offending widths: {bad}"
+            )
+        t = t.drop("bucket_sec")
     win = time_bucket("bucket_start", window_sec, out_col="window_start")
     merged = tdigest_merge_agg(
         t.withColumn("window_start", win).drop("bucket_start"),

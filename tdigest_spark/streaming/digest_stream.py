@@ -342,10 +342,16 @@ def _split_touched(old: DataFrame, keys_df: DataFrame, by: Sequence[str]):
     tuple in ``keys_df`` — NULL-SAFE: a plain ``join(keys, by)`` uses
     NULL-unequal semantics, so a NULL-keyed group would never match
     the semi side and a duplicate row would be appended on every
-    batch (one row per ingest instead of one per group)."""
+    batch (one row per ingest instead of one per group).
+
+    The key side is re-aliased to fresh names first: when ``keys_df``
+    derives from the same plan as ``old`` (e.g. a filter split of one
+    table), same-name refs would resolve to the SAME attribute —
+    trivially-true predicates at best, AnalysisException at worst."""
+    keys_df = keys_df.select([keys_df[c].alias(f"_k_{c}") for c in by])
     cond = None
     for c in by:
-        eq = old[c].eqNullSafe(keys_df[c])
+        eq = old[c].eqNullSafe(keys_df[f"_k_{c}"])
         cond = eq if cond is None else (cond & eq)
     return (
         old.join(keys_df, cond, "left_semi"),

@@ -141,3 +141,151 @@ def test_null_group_key_stays_single_row(spark, tmp_path):
     )
     n = {r.g: int(r.n) for r in got.collect()}
     assert n == {None: 3, "a": 1}
+
+
+# ---------------------------------------------------------------- downsample
+
+WEEK = 7 * DAY
+
+
+def _mk_events(spark, n_days=28, per_day=5, start_day=0):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(days=d, hours=3 * h),
+            f"g{d % 2}",
+            float(d * 10 + h) + 0.25,
+        )
+        for d in range(start_day, n_days)
+        for h in range(per_day)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, g string, value double")
+
+
+def _direct_week_stats(ev, by=("g",)):
+    return tdigest_stats(
+        tdigest_agg(
+            ev.withColumn(
+                "window_start",
+                F.to_timestamp(
+                    F.floor(F.col("ts").cast("timestamp").cast("double") / WEEK) * WEEK
+                ),
+            ),
+            "value",
+            by=["window_start", *by],
+            delta=LOSSLESS,
+        ),
+        _stats_map(),
+    )
+
+
+def _as_map(df, by=("g",)):
+    return {
+        (r.window_start, *[r[c] for c in by]): (round(r.p50, 6), r.n)
+        for r in df.collect()
+    }
+
+
+def test_downsample_tiered_merge_matches_direct(spark, tmp_path):
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ds")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    as_of = "2024-01-29T00:00:00+00:00"
+    iid = hypertable_downsample(
+        spark, table, DAY, as_of, tiers=[(14 * DAY, WEEK)]
+    )
+    assert iid == 1
+    t = spark.read.parquet(table)
+    widths = {r.bucket_sec for r in t.select("bucket_sec").distinct().collect()}
+    assert widths == {DAY, WEEK}  # old region coarsened, recent region kept
+    # coarse rows shrank the table: >1 day folded per coarse row
+    assert t.count() < 28 * 2
+    got = hypertable_window_stats(
+        spark, table, DAY, WEEK, _stats_map(), by=["g"]
+    )
+    assert _as_map(got) == _as_map(_direct_week_stats(ev))
+    # a window the coarse rows don't divide is rejected loudly
+    with pytest.raises(ValueError, match="offending widths"):
+        hypertable_window_stats(spark, table, DAY, DAY, _stats_map(), by=["g"])
+
+
+def test_downsample_drop_and_replay_noop(spark, tmp_path):
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "dsdrop")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    import datetime as dt
+
+    as_of = dt.datetime(2024, 1, 29, tzinfo=dt.timezone.utc)
+    cutoff = as_of.timestamp() - 21 * DAY
+    hypertable_downsample(
+        spark, table, DAY, as_of, tiers=[(14 * DAY, WEEK)],
+        drop_older_than=21 * DAY,
+    )
+    # retained mass == raw rows in buckets ending after the cutoff;
+    # coarse buckets are dropped whole (their END decides)
+    t = spark.read.parquet(table)
+    ends = [
+        r.bucket_start.replace(tzinfo=dt.timezone.utc).timestamp() + r.bucket_sec
+        for r in t.collect()
+    ]
+    assert ends and min(ends) > cutoff
+    # replaying the downsample's ingest id is a no-op
+    assert (
+        hypertable_downsample(
+            spark, table, DAY, as_of, tiers=[(14 * DAY, WEEK)], ingest_id=1
+        )
+        is None
+    )
+
+
+def test_downsample_late_data_then_recoarsen(spark, tmp_path):
+    """Late data lands at base width inside a coarsened region, window
+    stats stay exact, and the NEXT downsample folds it into the coarse
+    row."""
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    ev = _mk_events(spark)
+    # hold out day 2 (inside the region the first downsample coarsens)
+    import datetime as dt
+
+    d2 = dt.datetime(2024, 1, 3)
+    late = ev.filter(F.to_date("ts") == F.lit(d2.date()))
+    on_time = ev.filter(F.to_date("ts") != F.lit(d2.date()))
+    table = str(tmp_path / "dslate")
+    hypertable_upsert(on_time, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    as_of = "2024-01-29T00:00:00+00:00"
+    hypertable_downsample(spark, table, DAY, as_of, tiers=[(14 * DAY, WEEK)])
+    hypertable_upsert(late, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    got = hypertable_window_stats(spark, table, DAY, WEEK, _stats_map(), by=["g"])
+    assert _as_map(got) == _as_map(_direct_week_stats(ev))
+    n_before = spark.read.parquet(table).count()
+    hypertable_downsample(spark, table, DAY, as_of, tiers=[(14 * DAY, WEEK)])
+    t = spark.read.parquet(table)
+    assert t.count() < n_before  # the late base rows folded in
+    got2 = hypertable_window_stats(spark, table, DAY, WEEK, _stats_map(), by=["g"])
+    assert _as_map(got2) == _as_map(_direct_week_stats(ev))
+
+
+def test_downsample_validation(spark, tmp_path):
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    table = str(tmp_path / "dsval")
+    with pytest.raises(ValueError, match="no table"):
+        hypertable_downsample(spark, table, DAY, 0.0, tiers=[(DAY, WEEK)])
+    hypertable_upsert(
+        _mk_events(spark, n_days=2), "value", "ts", DAY, table, delta=LOSSLESS
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        hypertable_downsample(spark, table, DAY, 0.0, tiers=[(DAY, DAY + 1)])
+    with pytest.raises(ValueError, match="strictly increase"):
+        hypertable_downsample(
+            spark, table, DAY, 0.0, tiers=[(DAY, 2 * DAY), (WEEK, 2 * DAY)]
+        )
+    with pytest.raises(TypeError, match="as_of"):
+        hypertable_downsample(spark, table, DAY, True, tiers=[(DAY, WEEK)])
