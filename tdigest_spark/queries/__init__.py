@@ -30,13 +30,18 @@ from pyspark.sql import DataFrame, SparkSession
 # JOIN); sk_hll_global_events folded into sk_hll_rollup_docs to admit
 # rj_value_bands_events (range join vs DuckDB inequality join);
 # tx_fingerprints folded into tx_token_stats (per-lang checksums) to
-# admit fn_funnel_events (funnel vs the k-way self-join chain). Order
+# admit fn_funnel_events (funnel vs the k-way self-join chain). Round
+# 4 folded td_rollup_lineitem into td_cube_lineitem (one
+# grouping-lattice row: rollup + cube + grouping-sets legs, tagged) to
+# admit ht_rollup_window_events (hypertable two-batch ingest + tiered
+# downsample + window stats vs plain SQL over the raw rows). Order
 # still matters as a hedge: families with the freshest
-# unverified queries (session, rowscore, drift) or the oldest green
+# unverified queries (hypertable, session, rowscore, drift) or the oldest green
 # signal (dedup, similarity) go FIRST, the thrice-verified cheap
 # tdigest family last, so any residual budget cut lands on the queries
 # with the freshest prior evidence.
 _FAMILIES = (
+    "hypertable_q",
     "session_q",
     "rowscore_q",
     "asof_q",

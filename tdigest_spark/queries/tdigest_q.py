@@ -179,35 +179,47 @@ def _p99_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def td_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(l_returnflag, l_linestatus) medians derived by digest
-    merge from the leaf level — one scan, all levels (exact when
-    lossless, matching SQL ROLLUP + quantile_cont)."""
-    from tdigest_spark.operators.digest_agg import tdigest_rollup
+def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full grouping-lattice surface in ONE driver row, tagged by
+    ``leg`` (consolidated under the 50-row cap; the former standalone
+    td_rollup_lineitem folded in round 4 to admit
+    ht_rollup_window_events):
+
+    * ``cube`` — CUBE(l_returnflag, l_linestatus) medians derived by
+      digest merge from the leaf level, the full 2^d subset lattice
+      from one scan (exact when lossless, matching SQL CUBE +
+      quantile_cont).
+    * ``rollup`` — ROLLUP(l_returnflag, l_linestatus), the prefix
+      chain derived by merge from the same machinery.
+    * ``gsets`` — arbitrary non-lattice GROUPING SETS
+      ((l_returnflag, l_linenumber), (l_linestatus), ()) over three
+      dimensions, each derived by merge from its smallest computed
+      superset, with the SQL GROUPING_ID bitmask carried so rolled-up
+      NULLs stay distinguishable."""
+    from tdigest_spark.operators.digest_agg import (
+        tdigest_cube,
+        tdigest_grouping_sets,
+        tdigest_rollup,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     rolled = tdigest_rollup(
         li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=LOSSLESS
     )
-    out = tdigest_stats(rolled, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
-    return _round(out, {"p50": 4}).withColumn("n", F.col("n").cast("long"))
-
-
-def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE(l_returnflag, l_linestatus) medians derived by digest merge
-    from the leaf level — the full 2^d subset lattice from one scan
-    (exact when lossless, matching SQL CUBE + quantile_cont) — PLUS a
-    GROUPING SETS leg (consolidated under the 50-row cap): arbitrary
-    non-lattice sets ((l_returnflag, l_linenumber), (l_linestatus), ())
-    over three dimensions, each derived by merge from its smallest
-    computed superset, with the SQL GROUPING_ID bitmask carried so
-    rolled-up NULLs stay distinguishable. Tagged by ``leg``."""
-    from tdigest_spark.operators.digest_agg import (
-        tdigest_cube,
-        tdigest_grouping_sets,
+    roll_stats = tdigest_stats(rolled, {"p50": ("quantile", 0.5), "n": ("total_weight",)})
+    roll_out = (
+        _round(roll_stats, {"p50": 4})
+        .withColumn("n", F.col("n").cast("long"))
+        .select(
+            F.lit("rollup").alias("leg"),
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(None).cast("int").alias("l_linenumber"),
+            F.lit(None).cast("int").alias("gid"),
+            "p50",
+            "n",
+        )
     )
-
-    li = load(spark, sf_dir, "lineitem")
     cubed = tdigest_cube(
         li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=LOSSLESS
     )
@@ -246,7 +258,7 @@ def td_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return cube_out.unionByName(gs_out)
+    return roll_out.unionByName(cube_out).unionByName(gs_out)
 
 
 def td_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,7 +485,6 @@ QUERIES = {
     "td_quantiles_lineitem": td_quantiles_lineitem,
     "td_merge_engines_events": td_merge_engines_events,
     "td_histogram_mass_events": td_histogram_mass_events,
-    "td_rollup_lineitem": td_rollup_lineitem,
     "td_cube_lineitem": td_cube_lineitem,
     "td_sql_surface_events": td_sql_surface_events,
     "td_windows_events": td_windows_events,
@@ -539,13 +550,6 @@ ORACLES = {
                count(value) AS n, true AS p50_ok, true AS p99_ok
         FROM events GROUP BY event_type
     """,
-    "td_rollup_lineitem": """
-        SELECT l_returnflag, l_linestatus,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-               count(l_extendedprice) AS n
-        FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
     "td_windows_events": """
         WITH r AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
         e AS (SELECT unnest(generate_series(0, 6)) AS i, t, event_type, value
@@ -571,6 +575,14 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "td_cube_lineitem": """
+        SELECT 'rollup' AS leg, l_returnflag, l_linestatus,
+               CAST(NULL AS INT) AS l_linenumber,
+               CAST(NULL AS INT) AS gid,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               count(l_extendedprice) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        UNION ALL
         SELECT 'cube' AS leg, l_returnflag, l_linestatus,
                CAST(NULL AS INT) AS l_linenumber,
                CAST(NULL AS INT) AS gid,
