@@ -36,6 +36,14 @@ region merges ADDITIVELY (digest union covers every raw row exactly
 once, so window stats stay correct; the merged row keeps the coarsest
 contributing width).
 
+Companion-sketch twin: ``sketch_hypertable_upsert`` /
+``sketch_hypertable_window`` / ``sketch_hypertable_downsample`` are
+the same lifecycle over HLL / CMS / KLL / Bloom blob columns ("distinct
+users per week, answered from the rollup table") — the merge engine is
+the only thing that differs (register-max / counter-add / compactor
+union instead of centroid merge), so all three share the digest
+implementation's core via an injected merge function.
+
 At 100 TB: the ingest scans only the new raw partitions; the rollup
 table itself stays O(buckets x groups) rows forever, so the
 maintenance merge and every window query are sketch-sized jobs.
@@ -62,6 +70,9 @@ __all__ = [
     "hypertable_downsample",
     "hypertable_upsert",
     "hypertable_window_stats",
+    "sketch_hypertable_downsample",
+    "sketch_hypertable_upsert",
+    "sketch_hypertable_window",
     "time_bucket",
 ]
 
@@ -109,48 +120,32 @@ def _nullsafe_inner(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> D
     return left.join(right, cond, "inner").drop(*[f"_r_{c}" for c in keys])
 
 
-def _merge_with_widths(union: DataFrame, keys: list[str]) -> DataFrame:
-    """Merge digests per key group and carry the coarsest contributing
+def _merge_with_widths(union: DataFrame, keys: list[str], merge_fn) -> DataFrame:
+    """Merge sketch rows per key group (``merge_fn(df, keys)`` — digest
+    or companion-sketch engine) and carry the coarsest contributing
     ``bucket_sec`` (late data merged into an already-coarsened bucket
-    keeps that bucket's width — the digest union still covers every raw
+    keeps that bucket's width — the sketch union still covers every raw
     row exactly once, so window stats stay correct)."""
-    digests = tdigest_merge_agg(union.drop("bucket_sec"), by=keys)
+    merged = merge_fn(union.drop("bucket_sec"), keys)
     widths = union.groupBy(*keys).agg(F.max("bucket_sec").alias("bucket_sec"))
-    return _nullsafe_inner(digests, widths, keys)
+    return _nullsafe_inner(merged, widths, keys)
 
 
-def hypertable_downsample(
+def _downsample_core(
     spark: SparkSession,
     table_dir: str,
     bucket_sec: int,
     as_of,
-    tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
-    drop_older_than: float | None = None,
-    ingest_id: int | None = None,
+    tiers,
+    drop_older_than,
+    ingest_id,
+    value_cols: Sequence[str],
+    merge_fn,
 ) -> int | None:
-    """Apply a tiered retention policy to the rollup table: rows whose
-    ENTIRE target coarse bucket is older than a tier's age (relative to
-    ``as_of``) are re-bucketed at that tier's width and merged; rows
-    whose bucket ends before ``as_of - drop_older_than`` are removed.
-
-    ``tiers`` is ``[(age_sec, width_sec), ...]`` (or a mapping): "once a
-    bucket is ``age_sec`` old, hold it at ``width_sec`` granularity".
-    The coarsest applicable tier wins. Each width must be a positive
-    multiple of ``bucket_sec``, and widths must increase with age (a
-    finer tier at an older age could never apply — reject it loudly).
-
-    A row coarsens into width W only when ``floor(start/W)*W + W <=
-    as_of - age`` — i.e. the whole target bucket is past the threshold,
-    so it can never receive on-time data again (late data still merges
-    additively via ``hypertable_upsert``). Rows are digests, so the
-    merge is a sketch-sized groupBy over the rollup table; raw data is
-    never revisited.
-
-    Commits as its own ingest id on the snapshot pointer (returned;
-    ``None`` if ``ingest_id`` was already committed — replay no-op).
-    Mixing explicit-id upserts with downsamples: account for the id the
-    downsample consumes, or pass ids explicitly everywhere.
-    """
+    """Shared tiered-retention pass (see :func:`hypertable_downsample`
+    for semantics). ``value_cols`` are the sketch columns (everything
+    else except ``bucket_start``/``bucket_sec`` is a group key);
+    ``merge_fn(df, keys)`` is the per-group merge engine."""
     if isinstance(tiers, Mapping):
         tiers = list(tiers.items())
     tiers = sorted((float(a), int(w)) for a, w in tiers)
@@ -177,7 +172,9 @@ def hypertable_downsample(
     now = _epoch(as_of)
 
     t = spark.read.parquet(table_dir)
-    keys = [c for c in t.columns if c not in ("bucket_start", "digest", "bucket_sec")]
+    keys = [
+        c for c in t.columns if c not in ("bucket_start", "bucket_sec", *value_cols)
+    ]
     if "bucket_sec" not in t.columns:
         t = t.withColumn("bucket_sec", F.lit(int(bucket_sec)).cast("long"))
     start = F.col("bucket_start").cast("double")
@@ -213,10 +210,86 @@ def hypertable_downsample(
     ks = changed.select(*group_keys).distinct()
     touched, untouched = _split_touched(unchanged, ks, group_keys)
     merged = _merge_with_widths(
-        touched.unionByName(changed.select(*touched.columns)), group_keys
+        touched.unionByName(changed.select(*touched.columns)), group_keys, merge_fn
     ).unionByName(untouched)
     _commit_snapshot(merged.select(*untouched.columns), table_dir, ingest_id)
     return ingest_id
+
+
+def hypertable_downsample(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    as_of,
+    tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
+    drop_older_than: float | None = None,
+    ingest_id: int | None = None,
+) -> int | None:
+    """Apply a tiered retention policy to the rollup table: rows whose
+    ENTIRE target coarse bucket is older than a tier's age (relative to
+    ``as_of``) are re-bucketed at that tier's width and merged; rows
+    whose bucket ends before ``as_of - drop_older_than`` are removed.
+
+    ``tiers`` is ``[(age_sec, width_sec), ...]`` (or a mapping): "once a
+    bucket is ``age_sec`` old, hold it at ``width_sec`` granularity".
+    The coarsest applicable tier wins. Each width must be a positive
+    multiple of ``bucket_sec``, and widths must increase with age (a
+    finer tier at an older age could never apply — reject it loudly).
+
+    A row coarsens into width W only when ``floor(start/W)*W + W <=
+    as_of - age`` — i.e. the whole target bucket is past the threshold,
+    so it can never receive on-time data again (late data still merges
+    additively via ``hypertable_upsert``). Rows are digests, so the
+    merge is a sketch-sized groupBy over the rollup table; raw data is
+    never revisited.
+
+    Commits as its own ingest id on the snapshot pointer (returned;
+    ``None`` if ``ingest_id`` was already committed — replay no-op).
+    Mixing explicit-id upserts with downsamples: account for the id the
+    downsample consumes, or pass ids explicitly everywhere.
+    """
+    return _downsample_core(
+        spark,
+        table_dir,
+        bucket_sec,
+        as_of,
+        tiers,
+        drop_older_than,
+        ingest_id,
+        value_cols=("digest",),
+        merge_fn=lambda df, keys: tdigest_merge_agg(df, by=keys),
+    )
+
+
+def sketch_hypertable_downsample(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    as_of,
+    kinds: Mapping[str, str],
+    tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
+    drop_older_than: float | None = None,
+    ingest_id: int | None = None,
+) -> int | None:
+    """:func:`hypertable_downsample` for a companion-sketch rollup
+    table (``kinds`` maps blob column -> sketch kind, as in
+    ``sketch_merge_agg``). HLL / CMS / Bloom coarsening is EXACT
+    (register max / counter add / bit OR are re-associations); KLL is
+    exact while lossless and within its published rank bound beyond."""
+    from tdigest_spark.operators.sketch_agg import sketch_merge_agg
+
+    kinds = dict(kinds)
+    return _downsample_core(
+        spark,
+        table_dir,
+        bucket_sec,
+        as_of,
+        tiers,
+        drop_older_than,
+        ingest_id,
+        value_cols=tuple(kinds),
+        merge_fn=lambda df, keys: sketch_merge_agg(df, kinds, by=keys),
+    )
 
 
 def hypertable_upsert(
@@ -244,29 +317,94 @@ def hypertable_upsert(
         F.col("bucket_start").isNotNull()
     )
     new = tdigest_agg(bucketed, value_col, by=keys, delta=delta)
+    _upsert_commit(
+        new,
+        keys,
+        bucket_sec,
+        table_dir,
+        ingest_id,
+        last,
+        merge_fn=lambda df, ks: tdigest_merge_agg(df, by=ks),
+    )
+    return ingest_id
+
+
+def _upsert_commit(
+    new: DataFrame,
+    keys: list[str],
+    bucket_sec: int,
+    table_dir: str,
+    ingest_id: int,
+    last: int | None,
+    merge_fn,
+) -> None:
+    """Shared incremental-view-maintenance commit: only buckets present
+    in this ingest go through the merge; untouched rows pass through
+    byte-identical (same split as digest_sink)."""
+    spark = new.sparkSession
     if last is not None:
-        # incremental-view maintenance: only buckets present in this
-        # ingest go through the merge; untouched rows pass through
-        # byte-identical (same split as digest_sink)
         new = new.localCheckpoint(eager=True)
         old = spark.read.parquet(table_dir)
         ks = new.select(*keys).distinct()
         touched, untouched = _split_touched(old, ks, keys)
         if "bucket_sec" in old.columns:
             # downsampled table: keep per-row granularity alive
-            new = new.withColumn(
-                "bucket_sec", F.lit(int(bucket_sec)).cast("long")
-            )
+            new = new.withColumn("bucket_sec", F.lit(int(bucket_sec)).cast("long"))
             merged = _merge_with_widths(
-                touched.unionByName(new), keys
+                touched.unionByName(new), keys, merge_fn
             ).unionByName(untouched)
         else:
-            merged = tdigest_merge_agg(
-                touched.unionByName(new), by=keys
-            ).unionByName(untouched)
+            merged = merge_fn(touched.unionByName(new), keys).unionByName(untouched)
     else:
         merged = new
     _commit_snapshot(merged, table_dir, ingest_id)
+
+
+def sketch_hypertable_upsert(
+    rows: DataFrame,
+    specs: dict[str, tuple],
+    ts_col: str,
+    bucket_sec: int,
+    table_dir: str,
+    by: Sequence[str] = (),
+    strategy: str = "partials",
+    ingest_id: int | None = None,
+) -> int | None:
+    """:func:`hypertable_upsert` for the companion sketches: one pass
+    builds EVERY spec'd sketch per (bucket, keys) (``specs`` maps blob
+    column -> ``(kind, value_col, *params)``, as in ``sketch_build``)
+    and merges only touched buckets. The rollup table answers
+    "distinct users / top sources / char quantiles per day" forever at
+    O(buckets x groups) blob rows; HLL / CMS / Bloom merges are exact
+    re-associations, so the incrementally-built table equals the
+    one-shot batch build bit-for-bit."""
+    from tdigest_spark.operators.sketch_agg import (
+        _norm_specs,
+        sketch_build,
+        sketch_merge_agg,
+    )
+
+    by = list(by)
+    keys = ["bucket_start", *by]
+    kinds = {name: sp[0] for name, sp in _norm_specs(dict(specs)).items()}
+    last = _last_committed_batch(table_dir)
+    if ingest_id is None:
+        ingest_id = 0 if last is None else last + 1
+    if last is not None and ingest_id <= last:
+        return None
+    bucketed = rows.withColumn("bucket_start", time_bucket(ts_col, bucket_sec)).filter(
+        F.col("bucket_start").isNotNull()
+    )
+    new = sketch_build(bucketed, specs, by=keys, strategy=strategy)
+    _upsert_commit(
+        new,
+        keys,
+        bucket_sec,
+        table_dir,
+        ingest_id,
+        last,
+        merge_fn=lambda df, ks: sketch_merge_agg(df, kinds, by=ks),
+    )
     return ingest_id
 
 
@@ -281,6 +419,17 @@ def hypertable_window_stats(
     """Stats per (window_start, keys) for any window that is a whole
     multiple of the bucket — computed by merging bucket digests from
     the rollup table; raw data is never touched."""
+    t = _windowed_rows(spark, table_dir, bucket_sec, window_sec)
+    merged = tdigest_merge_agg(t, by=["window_start", *list(by)])
+    return tdigest_stats(merged, dict(stats))
+
+
+def _windowed_rows(
+    spark: SparkSession, table_dir: str, bucket_sec: int, window_sec: int
+) -> DataFrame:
+    """Rollup rows re-keyed by window_start, width-validated: every
+    row's bucket width must divide the window (the distinct width set
+    is O(#tiers) — bounded by construction)."""
     if window_sec % bucket_sec != 0 or window_sec <= 0:
         raise ValueError(
             f"window_sec ({window_sec}) must be a positive multiple of "
@@ -288,8 +437,6 @@ def hypertable_window_stats(
         )
     t = spark.read.parquet(table_dir)
     if "bucket_sec" in t.columns:
-        # downsampled table: every row's width must divide the window
-        # (the distinct set is O(#tiers) — bounded by construction)
         widths = [r[0] for r in t.select("bucket_sec").distinct().collect()]
         bad = sorted(w for w in widths if window_sec % w != 0)
         if bad:
@@ -299,8 +446,28 @@ def hypertable_window_stats(
             )
         t = t.drop("bucket_sec")
     win = time_bucket("bucket_start", window_sec, out_col="window_start")
-    merged = tdigest_merge_agg(
-        t.withColumn("window_start", win).drop("bucket_start"),
-        by=["window_start", *list(by)],
+    return t.withColumn("window_start", win).drop("bucket_start")
+
+
+def sketch_hypertable_window(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    window_sec: int,
+    kinds: Mapping[str, str],
+    estimates: Mapping[str, tuple],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`hypertable_window_stats` for a companion-sketch rollup:
+    per (window_start, keys) estimates (``estimates`` as in
+    ``sketch_estimates``) computed by merging bucket blobs from the
+    rollup table — "distinct users per week" without ever rescanning
+    (or even retaining) the raw rows."""
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_estimates,
+        sketch_merge_agg,
     )
-    return tdigest_stats(merged, dict(stats))
+
+    t = _windowed_rows(spark, table_dir, bucket_sec, window_sec)
+    merged = sketch_merge_agg(t, dict(kinds), by=["window_start", *list(by)])
+    return sketch_estimates(merged, dict(estimates))

@@ -289,3 +289,128 @@ def test_downsample_validation(spark, tmp_path):
         )
     with pytest.raises(TypeError, match="as_of"):
         hypertable_downsample(spark, table, DAY, True, tiers=[(DAY, WEEK)])
+
+
+# --------------------------------------------------------- sketch hypertable
+
+
+def _sk_specs():
+    return {"h": ("hll", "uid"), "c": ("cms", "g"), "k": ("kll", "value", 1_000_000)}
+
+
+def _sk_kinds():
+    return {"h": "hll", "c": "cms", "k": "kll"}
+
+
+def _sk_ests():
+    return {
+        "nd": ("hll_estimate", "h"),
+        "n": ("cms_total", "c"),
+        "p50": ("kll_quantile", "k", 0.5),
+    }
+
+
+def _mk_uid_events(spark, n_days=28, per_day=6):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(days=d, hours=2 * h),
+            f"g{d % 2}",
+            f"user{(d * 7 + h) % 11}",
+            float(d * 10 + h) + 0.5,
+        )
+        for d in range(n_days)
+        for h in range(per_day)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, g string, uid string, value double")
+
+
+def _sk_week_map(df):
+    return {
+        (r.window_start, r.g): (round(r.nd, 6), int(r.n), round(r.p50, 6))
+        for r in df.collect()
+    }
+
+
+def test_sketch_hypertable_incremental_matches_batch(spark, tmp_path):
+    """Two-batch sketch ingest == one-shot batch build, estimate-exact
+    (HLL register max / CMS counter add are re-associations; KLL is
+    lossless at this k) — and KLL p50 / CMS total equal the EXACT
+    per-window answers."""
+    from tdigest_spark.operators.hypertable import (
+        sketch_hypertable_upsert,
+        sketch_hypertable_window,
+    )
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+
+    ev = _mk_uid_events(spark)
+    table = str(tmp_path / "skht")
+    half = F.pmod(F.xxhash64("uid"), F.lit(2))
+    assert sketch_hypertable_upsert(
+        ev.where(half == 0), _sk_specs(), "ts", DAY, table, by=["g"]
+    ) == 0
+    assert sketch_hypertable_upsert(
+        ev.where(half == 1), _sk_specs(), "ts", DAY, table, by=["g"]
+    ) == 1
+    got = sketch_hypertable_window(
+        spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"]
+    )
+    wk = F.to_timestamp(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / WEEK) * WEEK
+    ).alias("window_start")
+    oneshot = sketch_estimates(
+        sketch_build(ev.select(wk, "g", "uid", "value"), _sk_specs(),
+                     by=["window_start", "g"]),
+        _sk_ests(),
+    )
+    assert _sk_week_map(got) == _sk_week_map(oneshot)
+    exact = ev.select(wk, "g", "uid", "value").groupBy("window_start", "g").agg(
+        F.count("*").alias("n_exact"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    )
+    ex = {(r.window_start, r.g): (int(r.n_exact), round(r.p50_exact, 6)) for r in exact.collect()}
+    for key, (_, n, p50) in _sk_week_map(got).items():
+        assert (n, p50) == ex[key]
+
+
+def test_sketch_hypertable_downsample_estimates_unchanged(spark, tmp_path):
+    """Tiered coarsening of a sketch rollup changes NO window estimate
+    (the merges are re-associations) while shrinking the table."""
+    from tdigest_spark.operators.hypertable import (
+        sketch_hypertable_downsample,
+        sketch_hypertable_upsert,
+        sketch_hypertable_window,
+    )
+
+    ev = _mk_uid_events(spark)
+    table = str(tmp_path / "skhtds")
+    sketch_hypertable_upsert(ev, _sk_specs(), "ts", DAY, table, by=["g"])
+    before = _sk_week_map(
+        sketch_hypertable_window(spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"])
+    )
+    n_before = spark.read.parquet(table).count()
+    iid = sketch_hypertable_downsample(
+        spark, table, DAY, "2024-01-29T00:00:00+00:00", _sk_kinds(),
+        tiers=[(14 * DAY, WEEK)],
+    )
+    assert iid == 1
+    t = spark.read.parquet(table)
+    assert t.count() < n_before
+    assert {r.bucket_sec for r in t.select("bucket_sec").distinct().collect()} == {DAY, WEEK}
+    after = _sk_week_map(
+        sketch_hypertable_window(spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"])
+    )
+    assert after == before
+    # late rows at base width still merge into the coarsened table
+    late = _mk_uid_events(spark, n_days=1)
+    sketch_hypertable_upsert(late, _sk_specs(), "ts", DAY, table, by=["g"])
+    got = sketch_hypertable_window(
+        spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"]
+    )
+    # CMS totals are additive-exact: first week gained exactly len(late) rows
+    wk0 = min(k[0] for k in before)
+    n_late = {r.g: r.n for r in late.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    for (w, g), (_, n, _) in _sk_week_map(got).items():
+        assert n == before[(w, g)][1] + (n_late.get(g, 0) if w == wk0 else 0)
