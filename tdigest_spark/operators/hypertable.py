@@ -62,15 +62,18 @@ from tdigest_spark.operators.digest_agg import (
 )
 from tdigest_spark.streaming.digest_stream import (
     _commit_snapshot,
+    _current_snapshot_rev,
     _last_committed_batch,
     _split_touched,
 )
 
 __all__ = [
     "hypertable_downsample",
+    "hypertable_sink",
     "hypertable_upsert",
     "hypertable_window_stats",
     "sketch_hypertable_downsample",
+    "sketch_hypertable_sink",
     "sketch_hypertable_upsert",
     "sketch_hypertable_window",
     "time_bucket",
@@ -141,11 +144,20 @@ def _downsample_core(
     ingest_id,
     value_cols: Sequence[str],
     merge_fn,
+    bump_id: bool = True,
 ) -> int | None:
     """Shared tiered-retention pass (see :func:`hypertable_downsample`
     for semantics). ``value_cols`` are the sketch columns (everything
     else except ``bucket_start``/``bucket_sec`` is a group key);
-    ``merge_fn(df, keys)`` is the per-group merge engine."""
+    ``merge_fn(df, keys)`` is the per-group merge engine.
+
+    ``bump_id=False`` re-commits at the CURRENT id instead of consuming
+    the next one — required for tables fed by a STREAMING sink, whose
+    checkpoint drives the batch-id chain (a bumped id would make the
+    sink silently skip its next real micro-batch as a replay).
+    Idempotence is then structural, not id-based: re-running the same
+    downsample finds no eligible rows (already-coarse rows fail the
+    ``bucket_sec < width`` gate) and commits identical data."""
     if isinstance(tiers, Mapping):
         tiers = list(tiers.items())
     tiers = sorted((float(a), int(w)) for a, w in tiers)
@@ -165,10 +177,21 @@ def _downsample_core(
     last = _last_committed_batch(table_dir)
     if last is None:
         raise ValueError(f"hypertable_downsample: no table at {table_dir!r}")
-    if ingest_id is None:
-        ingest_id = last + 1
-    if ingest_id <= last:
-        return None
+    rev = 0
+    if not bump_id:
+        if ingest_id is not None:
+            raise ValueError("ingest_id and bump_id=False are mutually exclusive")
+        # re-commit at the CURRENT id as a fresh REVISION directory:
+        # the merge below lazily reads the live snapshot through the
+        # pointer, so the output must land under a new path (and the
+        # pointer swap stays atomic)
+        ingest_id = last
+        rev = _current_snapshot_rev(table_dir) + 1
+    else:
+        if ingest_id is None:
+            ingest_id = last + 1
+        if ingest_id <= last:
+            return None
     now = _epoch(as_of)
 
     t = spark.read.parquet(table_dir)
@@ -212,7 +235,7 @@ def _downsample_core(
     merged = _merge_with_widths(
         touched.unionByName(changed.select(*touched.columns)), group_keys, merge_fn
     ).unionByName(untouched)
-    _commit_snapshot(merged.select(*untouched.columns), table_dir, ingest_id)
+    _commit_snapshot(merged.select(*untouched.columns), table_dir, ingest_id, rev=rev)
     return ingest_id
 
 
@@ -224,6 +247,7 @@ def hypertable_downsample(
     tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
     drop_older_than: float | None = None,
     ingest_id: int | None = None,
+    bump_id: bool = True,
 ) -> int | None:
     """Apply a tiered retention policy to the rollup table: rows whose
     ENTIRE target coarse bucket is older than a tier's age (relative to
@@ -246,7 +270,11 @@ def hypertable_downsample(
     Commits as its own ingest id on the snapshot pointer (returned;
     ``None`` if ``ingest_id`` was already committed — replay no-op).
     Mixing explicit-id upserts with downsamples: account for the id the
-    downsample consumes, or pass ids explicitly everywhere.
+    downsample consumes, or pass ids explicitly everywhere. For a table
+    fed by a STREAMING sink (:func:`hypertable_sink`), pass
+    ``bump_id=False`` — the stream's checkpoint owns the id chain, and
+    consuming an id here would make the resumed sink skip its next real
+    micro-batch as a replay.
     """
     return _downsample_core(
         spark,
@@ -258,6 +286,7 @@ def hypertable_downsample(
         ingest_id,
         value_cols=("digest",),
         merge_fn=lambda df, keys: tdigest_merge_agg(df, by=keys),
+        bump_id=bump_id,
     )
 
 
@@ -270,12 +299,15 @@ def sketch_hypertable_downsample(
     tiers: Sequence[tuple[float, int]] | Mapping[float, int] = (),
     drop_older_than: float | None = None,
     ingest_id: int | None = None,
+    bump_id: bool = True,
 ) -> int | None:
     """:func:`hypertable_downsample` for a companion-sketch rollup
     table (``kinds`` maps blob column -> sketch kind, as in
     ``sketch_merge_agg``). HLL / CMS / Bloom coarsening is EXACT
     (register max / counter add / bit OR are re-associations); KLL is
-    exact while lossless and within its published rank bound beyond."""
+    exact while lossless and within its published rank bound beyond.
+    ``bump_id=False`` as in :func:`hypertable_downsample` (required for
+    :func:`sketch_hypertable_sink`-fed tables)."""
     from tdigest_spark.operators.sketch_agg import sketch_merge_agg
 
     kinds = dict(kinds)
@@ -289,6 +321,7 @@ def sketch_hypertable_downsample(
         ingest_id,
         value_cols=tuple(kinds),
         merge_fn=lambda df, keys: sketch_merge_agg(df, kinds, by=keys),
+        bump_id=bump_id,
     )
 
 
@@ -471,3 +504,98 @@ def sketch_hypertable_window(
     t = _windowed_rows(spark, table_dir, bucket_sec, window_sec)
     merged = sketch_merge_agg(t, dict(kinds), by=["window_start", *list(by)])
     return sketch_estimates(merged, dict(estimates))
+
+
+def hypertable_sink(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str,
+    bucket_sec: int,
+    table_dir: str,
+    checkpoint_dir: str,
+    by: Sequence[str] = (),
+    delta: int = 200,
+):
+    """Streaming front door to the hypertable: a ``foreachBatch`` sink
+    where every micro-batch is a :func:`hypertable_upsert` at the
+    stream's batch id (same atomic snapshot-pointer commit as
+    ``digest_sink``, so a replayed micro-batch is a no-op and a crash
+    at any point leaves a consistent table). The continuous aggregate
+    is maintained live: at any moment ``hypertable_window_stats`` on
+    ``table_dir`` answers day/week/month windows from O(buckets x
+    groups) digest rows, raw stream rows never retained.
+
+    The stream's checkpoint OWNS the table's ingest-id chain: do not
+    mix explicit-id batch upserts into a sink-fed table, and run
+    retention maintenance (:func:`hypertable_downsample`) with
+    ``bump_id=False`` so it never consumes an id the resumed stream
+    will present next (the sink would silently skip that real
+    micro-batch as a replay). Returns the StreamingQuery.
+
+    Late data composes upstream exactly as for ``digest_sink``
+    (``withWatermark`` before the sink if bounded lateness is wanted;
+    without it every late row still merges additively into its bucket
+    — the upsert touches only that bucket's row)."""
+    by = list(by)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hypertable_upsert(
+            batch_df,
+            value_col,
+            ts_col,
+            bucket_sec,
+            table_dir,
+            by=by,
+            delta=delta,
+            ingest_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sketch_hypertable_sink(
+    stream: DataFrame,
+    specs: dict[str, tuple],
+    ts_col: str,
+    bucket_sec: int,
+    table_dir: str,
+    checkpoint_dir: str,
+    by: Sequence[str] = (),
+    strategy: str = "partials",
+):
+    """:func:`hypertable_sink` for the companion sketches: each
+    micro-batch is a :func:`sketch_hypertable_upsert` (``specs`` as in
+    ``sketch_build``), so "distinct users / top sources per day"
+    accumulates live into an O(buckets x groups) blob table with
+    exactly-once micro-batch semantics. Same id-chain ownership rule:
+    downsample a sink-fed table only with ``bump_id=False``. Returns
+    the StreamingQuery."""
+    from tdigest_spark.operators.sketch_agg import _norm_specs
+
+    specs = dict(specs)
+    _norm_specs(specs)  # validate at sink construction, not mid-stream
+    by = list(by)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_hypertable_upsert(
+            batch_df,
+            specs,
+            ts_col,
+            bucket_sec,
+            table_dir,
+            by=by,
+            strategy=strategy,
+            ingest_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

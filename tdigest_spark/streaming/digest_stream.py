@@ -378,18 +378,54 @@ def _last_committed_batch(table_dir: str) -> int | None:
         return json.load(f)["last_batch"]
 
 
-def _commit_snapshot(merged: DataFrame, table_dir: str, batch_id: int) -> None:
+def _parse_snap(name: str) -> tuple[int, int] | None:
+    """Snapshot dir name -> (batch_id, rev); ``v7`` -> (7, 0),
+    ``v7.2`` -> (7, 2); None for anything else."""
+    if not name.startswith("v"):
+        return None
+    id_s, _, rev_s = name[1:].partition(".")
+    if not id_s.isdigit() or (rev_s and not rev_s.isdigit()):
+        return None
+    return (int(id_s), int(rev_s or 0))
+
+
+def _snap_name(batch_id: int, rev: int) -> str:
+    return f"v{batch_id}" if rev == 0 else f"v{batch_id}.{rev}"
+
+
+def _current_snapshot_rev(table_dir: str) -> int:
+    """Revision of the snapshot the pointer currently resolves to
+    (0 for a plain ``v{id}`` dir)."""
+    import os
+
+    parsed = _parse_snap(os.path.basename(os.readlink(table_dir)))
+    if parsed is None:  # pragma: no cover - foreign symlink target
+        raise ValueError(f"{table_dir!r} does not point at a snapshot dir")
+    return parsed[1]
+
+
+def _commit_snapshot(
+    merged: DataFrame, table_dir: str, batch_id: int, rev: int = 0
+) -> None:
     """Write ``merged`` as snapshot ``v{batch_id}`` and atomically
     repoint ``table_dir`` (a symlink) at it — data and the
     last-merged-batch marker commit in ONE step (the protocol described
     in :func:`digest_sink`'s docstring). Keeps the predecessor snapshot
-    for readers mid-scan and prunes anything older."""
+    for readers mid-scan and prunes anything older.
+
+    ``rev`` > 0 commits a REVISION of an existing batch id
+    (``v{batch_id}.{rev}``) — same marker, fresh directory. Used by
+    maintenance passes that must not consume a batch id (hypertable
+    downsample with ``bump_id=False``): writing under a NEW path keeps
+    the plan's lazy reads of the current snapshot valid (overwriting
+    ``v{batch_id}`` in place would delete the very files the merge job
+    is still scanning through the symlink) and keeps the commit atomic."""
     import json
     import os
     import shutil
 
     snap_root = f"{table_dir}.snapshots"
-    snap = os.path.join(snap_root, f"v{batch_id}")
+    snap = os.path.join(snap_root, _snap_name(batch_id, rev))
     merged.write.mode("overwrite").parquet(snap)
     with open(os.path.join(snap, "_meta.json"), "w") as f:
         json.dump({"last_batch": batch_id}, f)
@@ -403,12 +439,12 @@ def _commit_snapshot(merged: DataFrame, table_dir: str, batch_id: int) -> None:
     # reader that resolved the pointer just before this commit may
     # still be scanning the previous snapshot — it is deleted one
     # commit later, never under a live reader
-    vs = sorted(
-        int(s[1:]) for s in os.listdir(snap_root)
-        if s.startswith("v") and s[1:].isdigit()
+    gens = sorted(
+        (p, s) for s in os.listdir(snap_root)
+        if (p := _parse_snap(s)) is not None
     )
-    for old in vs[:-2]:
-        shutil.rmtree(os.path.join(snap_root, f"v{old}"), ignore_errors=True)
+    for _, old in gens[:-2]:
+        shutil.rmtree(os.path.join(snap_root, old), ignore_errors=True)
 
 
 def sketch_sink(

@@ -414,3 +414,152 @@ def test_sketch_hypertable_downsample_estimates_unchanged(spark, tmp_path):
     n_late = {r.g: r.n for r in late.groupBy("g").agg(F.count("*").alias("n")).collect()}
     for (w, g), (_, n, _) in _sk_week_map(got).items():
         assert n == before[(w, g)][1] + (n_late.get(g, 0) if w == wk0 else 0)
+
+
+# ------------------------------------------------------------ streaming sinks
+
+
+def test_hypertable_sink_downsample_then_resume(spark, tmp_path):
+    """The full streamed-continuous-aggregate lifecycle: micro-batches
+    feed the rollup through hypertable_sink, a bump_id=False retention
+    pass coarsens it WITHOUT consuming a batch id, and the resumed
+    stream's next real micro-batch still merges (it would be silently
+    skipped as a replay if the downsample had bumped the id chain).
+    Final week-window stats equal the direct batch build over ALL rows."""
+    import datetime as dt
+
+    from tdigest_spark.operators.hypertable import (
+        hypertable_downsample,
+        hypertable_sink,
+    )
+    from tdigest_spark.streaming.digest_stream import _last_committed_batch
+
+    ev = _mk_events(spark)
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "ht_src"
+    cuts = [base + dt.timedelta(days=10), base + dt.timedelta(days=20)]
+    ev.filter(F.col("ts") < cuts[0]).coalesce(1).write.parquet(str(src / "chunk=0"))
+    ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])).coalesce(
+        1
+    ).write.parquet(str(src / "chunk=1"))
+
+    table = str(tmp_path / "ht_sink_table")
+    ckpt = str(tmp_path / "ht_sink_ck")
+
+    def run_sink():
+        stream = (
+            spark.readStream.schema("ts timestamp, g string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/chunk=*")
+        )
+        q = hypertable_sink(
+            stream, "value", "ts", DAY, table, ckpt, by=["g"], delta=LOSSLESS
+        )
+        q.awaitTermination(300)
+
+    run_sink()
+    assert _last_committed_batch(table) == 1
+
+    # retention maintenance on the live sink-fed table: must NOT bump
+    # the id chain, and the next-oldest week coarsens to WEEK width
+    as_of = base + dt.timedelta(days=20)
+    hypertable_downsample(
+        spark, table, DAY, as_of.replace(tzinfo=dt.timezone.utc),
+        tiers=[(7 * DAY, WEEK)], bump_id=False,
+    )
+    assert _last_committed_batch(table) == 1
+    widths = {
+        r.bucket_sec
+        for r in spark.read.parquet(table).select("bucket_sec").distinct().collect()
+    }
+    assert widths == {DAY, WEEK}
+
+    # the held-back chunk arrives; the resumed stream presents batch 2
+    ev.filter(F.col("ts") >= cuts[1]).coalesce(1).write.parquet(str(src / "chunk=2"))
+    run_sink()
+    assert _last_committed_batch(table) == 2  # real batch merged, not skipped
+
+    got = hypertable_window_stats(
+        spark, table, DAY, WEEK, _stats_map(), by=["g"]
+    )
+    assert _as_map(got) == _as_map(_direct_week_stats(ev))
+
+
+def test_downsample_bump_id_false_idempotent_and_validates(spark, tmp_path):
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_bump")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        hypertable_downsample(
+            spark, table, DAY, "2024-02-01T00:00:00+00:00",
+            tiers=[(7 * DAY, WEEK)], ingest_id=5, bump_id=False,
+        )
+    got = hypertable_downsample(
+        spark, table, DAY, "2024-02-01T00:00:00+00:00",
+        tiers=[(7 * DAY, WEEK)], bump_id=False,
+    )
+    assert got == 0  # committed at the CURRENT id
+    rows1 = {
+        tuple(sorted(r.asDict(recursive=True).items(), key=lambda kv: kv[0]))
+        for r in spark.read.parquet(table).withColumn(
+            "d", F.sha2(F.to_json(F.struct("*")), 256)
+        ).select("bucket_start", "bucket_sec", "g", "d").collect()
+    }
+    # structurally idempotent: a re-run finds nothing eligible and
+    # commits identical data at the same id
+    assert hypertable_downsample(
+        spark, table, DAY, "2024-02-01T00:00:00+00:00",
+        tiers=[(7 * DAY, WEEK)], bump_id=False,
+    ) == 0
+    rows2 = {
+        tuple(sorted(r.asDict(recursive=True).items(), key=lambda kv: kv[0]))
+        for r in spark.read.parquet(table).withColumn(
+            "d", F.sha2(F.to_json(F.struct("*")), 256)
+        ).select("bucket_start", "bucket_sec", "g", "d").collect()
+    }
+    assert rows1 == rows2
+
+
+def test_sketch_hypertable_sink_matches_one_shot(spark, tmp_path):
+    """Streamed companion-sketch rollup == one-shot batch build
+    (estimate-exact), through the foreachBatch sink."""
+    import datetime as dt
+
+    from tdigest_spark.operators.hypertable import (
+        sketch_hypertable_sink,
+        sketch_hypertable_window,
+    )
+    from tdigest_spark.operators.sketch_agg import sketch_build, sketch_estimates
+    from tdigest_spark.streaming.digest_stream import _last_committed_batch
+
+    ev = _mk_uid_events(spark)
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "skht_src"
+    cut = base + dt.timedelta(days=14)
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(str(src / "chunk=0"))
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(str(src / "chunk=1"))
+    table = str(tmp_path / "skht_sink_table")
+    stream = (
+        spark.readStream.schema("ts timestamp, g string, uid string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk=*")
+    )
+    q = sketch_hypertable_sink(
+        stream, _sk_specs(), "ts", DAY, table, str(tmp_path / "skht_ck"), by=["g"]
+    )
+    q.awaitTermination(300)
+    assert _last_committed_batch(table) == 1
+    got = sketch_hypertable_window(
+        spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"]
+    )
+    wk = F.to_timestamp(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / WEEK) * WEEK
+    ).alias("window_start")
+    oneshot = sketch_estimates(
+        sketch_build(ev.select(wk, "g", "uid", "value"), _sk_specs(),
+                     by=["window_start", "g"]),
+        _sk_ests(),
+    )
+    assert _sk_week_map(got) == _sk_week_map(oneshot)
