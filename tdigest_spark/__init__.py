@@ -43,6 +43,42 @@ _EXPORTS = {
     "psi_score": ("tdigest_spark.operators.drift", "psi_score"),
     "tdigest_sliding": ("tdigest_spark.operators.digest_agg", "tdigest_sliding"),
     "panes_to_sliding": ("tdigest_spark.operators.digest_agg", "panes_to_sliding"),
+    # hypertable rollup lifecycle (continuous aggregates)
+    "time_bucket": ("tdigest_spark.operators.hypertable", "time_bucket"),
+    "hypertable_upsert": ("tdigest_spark.operators.hypertable", "hypertable_upsert"),
+    "hypertable_window_stats": (
+        "tdigest_spark.operators.hypertable",
+        "hypertable_window_stats",
+    ),
+    "hypertable_sliding_stats": (
+        "tdigest_spark.operators.hypertable",
+        "hypertable_sliding_stats",
+    ),
+    "hypertable_downsample": (
+        "tdigest_spark.operators.hypertable",
+        "hypertable_downsample",
+    ),
+    "hypertable_sink": ("tdigest_spark.operators.hypertable", "hypertable_sink"),
+    "sketch_hypertable_upsert": (
+        "tdigest_spark.operators.hypertable",
+        "sketch_hypertable_upsert",
+    ),
+    "sketch_hypertable_window": (
+        "tdigest_spark.operators.hypertable",
+        "sketch_hypertable_window",
+    ),
+    "sketch_hypertable_sliding": (
+        "tdigest_spark.operators.hypertable",
+        "sketch_hypertable_sliding",
+    ),
+    "sketch_hypertable_downsample": (
+        "tdigest_spark.operators.hypertable",
+        "sketch_hypertable_downsample",
+    ),
+    "sketch_hypertable_sink": (
+        "tdigest_spark.operators.hypertable",
+        "sketch_hypertable_sink",
+    ),
     # companion sketches
     "HLL": ("tdigest_spark.sketch.hll", "HLL"),
     "CountMin": ("tdigest_spark.sketch.cms", "CountMin"),

@@ -70,10 +70,12 @@ from tdigest_spark.streaming.digest_stream import (
 __all__ = [
     "hypertable_downsample",
     "hypertable_sink",
+    "hypertable_sliding_stats",
     "hypertable_upsert",
     "hypertable_window_stats",
     "sketch_hypertable_downsample",
     "sketch_hypertable_sink",
+    "sketch_hypertable_sliding",
     "sketch_hypertable_upsert",
     "sketch_hypertable_window",
     "time_bucket",
@@ -504,6 +506,128 @@ def sketch_hypertable_window(
     t = _windowed_rows(spark, table_dir, bucket_sec, window_sec)
     merged = sketch_merge_agg(t, dict(kinds), by=["window_start", *list(by)])
     return sketch_estimates(merged, dict(estimates))
+
+
+def _sliding_rows(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    window_sec: int,
+    slide_sec: int,
+) -> DataFrame:
+    """Rollup rows fanned out to every SLIDING window that fully covers
+    them (``__ws`` = window start, epoch seconds, + sketch/key columns).
+
+    Width validation: every row's bucket width must divide BOTH the
+    window and the slide — window edges are then always bucket edges,
+    so no bucket ever straddles a window boundary. A downsampled table
+    holds O(#tiers) distinct widths (bounded by construction); each
+    width group fans out through the shared pane-explode at its own
+    pane size and the groups union — still one job, no shuffle until
+    the per-window merge."""
+    from tdigest_spark.operators.digest_agg import explode_panes_to_windows
+
+    if window_sec <= 0 or slide_sec <= 0:
+        raise ValueError("window_sec and slide_sec must be positive")
+    t = spark.read.parquet(table_dir)
+    if "bucket_sec" in t.columns:
+        widths = sorted(r[0] for r in t.select("bucket_sec").distinct().collect())
+    else:
+        t = t.withColumn("bucket_sec", F.lit(int(bucket_sec)).cast("long"))
+        widths = [int(bucket_sec)]
+    bad = [w for w in widths if window_sec % w or slide_sec % w]
+    if bad:
+        raise ValueError(
+            f"window_sec ({window_sec}) and slide_sec ({slide_sec}) must "
+            f"be multiples of every row's bucket width; offending "
+            f"widths: {bad}"
+        )
+    payload = [c for c in t.columns if c not in ("bucket_start", "bucket_sec")]
+    parts = []
+    for w in widths:
+        rows_w = (
+            t.filter(F.col("bucket_sec") == w)
+            .withColumn(
+                "__pane",
+                F.floor(F.col("bucket_start").cast("double") / F.lit(int(w))).cast(
+                    "long"
+                ),
+            )
+            .select("__pane", *payload)
+        )
+        parts.append(
+            explode_panes_to_windows(
+                rows_w, int(w), int(window_sec), int(slide_sec),
+                payload_cols=payload,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ws_to_timestamp(df: DataFrame, tail_cols: Sequence[str]) -> DataFrame:
+    return df.select(
+        F.timestamp_micros((F.col("__ws") * 1_000_000).cast("long")).alias(
+            "window_start"
+        ),
+        *tail_cols,
+    )
+
+
+def hypertable_sliding_stats(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    window_sec: int,
+    slide_sec: int,
+    stats: Mapping[str, tuple],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Stats per SLIDING (window_start, keys) — "trailing 7-day
+    quantiles, updated daily" — from the rollup table alone: each
+    bucket digest fans out to the O(window/slide) windows covering it
+    and windows merge associatively, so the whole query is
+    O(buckets x window/slide x groups) digest rows; raw data is never
+    rescanned. Window and slide must be multiples of every row's
+    bucket width (see :func:`_sliding_rows`); after downsampling, that
+    means trailing windows over old coarse regions need window/slide
+    at the coarse granularity — exactly the resolution the retention
+    policy chose to keep."""
+    ex = _sliding_rows(spark, table_dir, bucket_sec, window_sec, slide_sec)
+    by = list(by)
+    merged = tdigest_merge_agg(ex, by=["__ws", *by])
+    return tdigest_stats(_ws_to_timestamp(merged, [*by, "digest"]), dict(stats))
+
+
+def sketch_hypertable_sliding(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    window_sec: int,
+    slide_sec: int,
+    kinds: Mapping[str, str],
+    estimates: Mapping[str, tuple],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`hypertable_sliding_stats` for a companion-sketch rollup:
+    sliding-window estimates ("distinct users in the trailing 7 days,
+    updated daily") by fanning bucket blobs to their covering windows
+    and merging — HLL / CMS / Bloom merges are exact re-associations,
+    so the sliding estimates equal a from-raw build's exactly."""
+    from tdigest_spark.operators.sketch_agg import (
+        sketch_estimates,
+        sketch_merge_agg,
+    )
+
+    kinds = dict(kinds)
+    ex = _sliding_rows(spark, table_dir, bucket_sec, window_sec, slide_sec)
+    by = list(by)
+    merged = sketch_merge_agg(ex, kinds, by=["__ws", *by])
+    return sketch_estimates(
+        _ws_to_timestamp(merged, [*by, *kinds]), dict(estimates)
+    )
 
 
 def hypertable_sink(

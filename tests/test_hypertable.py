@@ -416,6 +416,111 @@ def test_sketch_hypertable_downsample_estimates_unchanged(spark, tmp_path):
         assert n == before[(w, g)][1] + (n_late.get(g, 0) if w == wk0 else 0)
 
 
+# ------------------------------------------------------------ sliding windows
+
+
+def _direct_sliding_stats(ev, window_sec, slide_sec, by=("g",)):
+    """Independent oracle: explode each raw event to every sliding
+    window containing it (ws multiples of slide in (t-window, t]),
+    lossless digest per (window, keys)."""
+    e = F.col("ts").cast("timestamp").cast("double")
+    lastk = F.floor(e / slide_sec).cast("long")
+    firstk = (F.floor((e - window_sec) / slide_sec) + 1).cast("long")
+    exploded = ev.withColumn("__wsk", F.explode(F.sequence(firstk, lastk))).withColumn(
+        "window_start", F.to_timestamp(F.col("__wsk") * slide_sec)
+    )
+    return tdigest_stats(
+        tdigest_agg(exploded, "value", by=["window_start", *by], delta=LOSSLESS),
+        _stats_map(),
+    )
+
+
+def test_hypertable_sliding_matches_direct(spark, tmp_path):
+    from tdigest_spark.operators.hypertable import hypertable_sliding_stats
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_slide")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    got = hypertable_sliding_stats(
+        spark, table, DAY, WEEK, DAY, _stats_map(), by=["g"]
+    )
+    direct = _direct_sliding_stats(ev, WEEK, DAY)
+    g, d = _as_map(got), _as_map(direct)
+    assert g == d
+    # genuinely sliding: ~7x more window rows than weeks of data
+    assert len({k[0] for k in g}) > 20
+
+
+def test_hypertable_sliding_mixed_widths_and_validation(spark, tmp_path):
+    """Sliding windows keep working on a DOWNSAMPLED (mixed-width)
+    table when window/slide respect the coarse granularity, and reject
+    a slide finer than a stored width."""
+    from tdigest_spark.operators.hypertable import (
+        hypertable_downsample,
+        hypertable_sliding_stats,
+    )
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_slide_ds")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    hypertable_downsample(
+        spark, table, DAY, "2024-01-29T00:00:00+00:00", tiers=[(14 * DAY, WEEK)]
+    )
+    widths = {
+        r.bucket_sec
+        for r in spark.read.parquet(table).select("bucket_sec").distinct().collect()
+    }
+    assert widths == {DAY, WEEK}
+    got = hypertable_sliding_stats(
+        spark, table, DAY, 2 * WEEK, WEEK, _stats_map(), by=["g"]
+    )
+    direct = _direct_sliding_stats(ev, 2 * WEEK, WEEK)
+    assert _as_map(got) == _as_map(direct)
+    with pytest.raises(ValueError, match="offending widths"):
+        hypertable_sliding_stats(spark, table, DAY, WEEK, DAY, _stats_map(), by=["g"])
+
+
+def test_sketch_hypertable_sliding_matches_one_shot(spark, tmp_path):
+    """Sliding sketch estimates from the rollup == the one-shot
+    sketch_sliding batch build over raw rows (merge re-association),
+    and CMS totals equal exact per-window counts."""
+    from tdigest_spark.operators.hypertable import (
+        sketch_hypertable_sliding,
+        sketch_hypertable_upsert,
+    )
+    from tdigest_spark.operators.sketch_agg import sketch_estimates, sketch_sliding
+
+    ev = _mk_uid_events(spark)
+    table = str(tmp_path / "skht_slide")
+    sketch_hypertable_upsert(ev, _sk_specs(), "ts", DAY, table, by=["g"])
+    got = sketch_hypertable_sliding(
+        spark, table, DAY, WEEK, DAY, _sk_kinds(), _sk_ests(), by=["g"]
+    )
+    oneshot = sketch_estimates(
+        sketch_sliding(ev, _sk_specs(), "ts", WEEK, DAY, by=["g"]), _sk_ests()
+    )
+    gm, om = _sk_week_map(got), _sk_week_map(oneshot)
+    assert gm == om and len({k[0] for k in gm}) > 20
+    e = F.col("ts").cast("timestamp").cast("double")
+    exact = (
+        ev.withColumn(
+            "__wsk",
+            F.explode(
+                F.sequence(
+                    (F.floor((e - WEEK) / DAY) + 1).cast("long"),
+                    F.floor(e / DAY).cast("long"),
+                )
+            ),
+        )
+        .withColumn("window_start", F.to_timestamp(F.col("__wsk") * DAY))
+        .groupBy("window_start", "g")
+        .count()
+    )
+    ex = {(r.window_start, r.g): int(r["count"]) for r in exact.collect()}
+    for key, (_, n, _) in gm.items():
+        assert n == ex[key]
+
+
 # ------------------------------------------------------------ streaming sinks
 
 
