@@ -104,6 +104,25 @@ _EXPORTS = {
     "kmv_overlap": ("tdigest_spark.operators.sketch_agg", "kmv_overlap"),
     "approx_topk": ("tdigest_spark.operators.topk", "approx_topk"),
     "bloom_semijoin": ("tdigest_spark.operators.sketch_join", "bloom_semijoin"),
+    # event analytics
+    "sessionize": ("tdigest_spark.operators.sessionize", "sessionize"),
+    "session_stats": ("tdigest_spark.operators.sessionize", "session_stats"),
+    "asof_join": ("tdigest_spark.operators.asof", "asof_join"),
+    "range_join": ("tdigest_spark.operators.range_join", "range_join"),
+    "funnel_steps": ("tdigest_spark.operators.funnel", "funnel_steps"),
+    "funnel_counts": ("tdigest_spark.operators.funnel", "funnel_counts"),
+    "cohort_retention": ("tdigest_spark.operators.retention", "cohort_retention"),
+    "heavy_key_strings": ("tdigest_spark.operators.skew", "heavy_key_strings"),
+    # per-row scorers / grouping lattice
+    "tdigest_grouping_sets": (
+        "tdigest_spark.operators.digest_agg",
+        "tdigest_grouping_sets",
+    ),
+    "quantile_normalize": ("tdigest_spark.operators.digest_agg", "quantile_normalize"),
+    "with_equidepth_bucket": (
+        "tdigest_spark.operators.digest_agg",
+        "with_equidepth_bucket",
+    ),
     # LLM-pipeline operators
     "hash_sample": ("tdigest_spark.operators.sampling", "hash_sample"),
     "stratified_sample": ("tdigest_spark.operators.sampling", "stratified_sample"),
@@ -114,7 +133,21 @@ _EXPORTS = {
     "url_host": ("tdigest_spark.functions.urls", "url_host"),
     "url_registered_domain": ("tdigest_spark.functions.urls", "url_registered_domain"),
     "minhash_dedup_pairs": ("tdigest_spark.operators.dedup", "minhash_dedup_pairs"),
+    "simhash_pairs": ("tdigest_spark.operators.dedup", "simhash_pairs"),
+    "decontaminate": ("tdigest_spark.operators.dedup", "decontaminate"),
+    "apply_decontamination": (
+        "tdigest_spark.operators.dedup",
+        "apply_decontamination",
+    ),
     "connected_components": ("tdigest_spark.operators.dedup", "connected_components"),
+    "chunk_documents": ("tdigest_spark.operators.chunking", "chunk_documents"),
+    "chunk_documents_tokens": (
+        "tdigest_spark.operators.chunking",
+        "chunk_documents_tokens",
+    ),
+    "pack_sequences": ("tdigest_spark.operators.packing", "pack_sequences"),
+    "tfidf_top_terms": ("tdigest_spark.operators.tfidf", "tfidf_top_terms"),
+    "token_count": ("tdigest_spark.functions.textstats", "token_count"),
     "cosine_topk": ("tdigest_spark.operators.similarity", "cosine_topk"),
     "build_ivf_index": ("tdigest_spark.operators.similarity", "build_ivf_index"),
     "ivf_topk_indexed": ("tdigest_spark.operators.similarity", "ivf_topk_indexed"),

@@ -37,12 +37,16 @@ def ht_rollup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incremental-view maintenance: only touched buckets pay the second
     merge), then downsampled — buckets whose week is entirely older
     than 14 days before a FIXED ``as_of`` merge into week rows (events
-    data spans 2024-01, so both widths coexist) — then per
-    (week, event_type) p50/count answered from the rollup table alone.
-    Raw data is scanned only by the two ingests, never by the query."""
+    data spans 2024-01, so both widths coexist) — then TWO window reads
+    answered from the rollup table alone, union-tagged by ``leg``:
+    tumbling weekly stats (``tumble_1w``) and SLIDING trailing-2-week
+    stats at a weekly slide (``slide_2w_1w`` — each bucket fanned to
+    its covering windows, per-width, then merged associatively). Raw
+    data is scanned only by the two ingests, never by either read."""
     from tdigest_spark.operators.digest_agg import tdigest_stats
     from tdigest_spark.operators.hypertable import (
         hypertable_downsample,
+        hypertable_sliding_stats,
         hypertable_upsert,
         hypertable_window_stats,
     )
@@ -77,20 +81,24 @@ def ht_rollup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2024-02-15T00:00:00+00:00",
         tiers=[(14 * DAY, WEEK)],
     )
-    out = hypertable_window_stats(
-        spark,
-        table,
-        DAY,
-        WEEK,
-        {"p50": ("quantile", 0.5), "n": ("total_weight",)},
-        by=["event_type"],
+    stats = {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+    tumble = hypertable_window_stats(
+        spark, table, DAY, WEEK, stats, by=["event_type"]
     )
-    return out.select(
-        "window_start",
-        "event_type",
-        F.round("p50", 4).alias("p50"),
-        F.col("n").cast("long").alias("n"),
+    slide = hypertable_sliding_stats(
+        spark, table, DAY, 2 * WEEK, WEEK, stats, by=["event_type"]
     )
+
+    def shape(df: DataFrame, leg: str) -> DataFrame:
+        return df.select(
+            F.lit(leg).alias("leg"),
+            "window_start",
+            "event_type",
+            F.round("p50", 4).alias("p50"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    return shape(tumble, "tumble_1w").unionByName(shape(slide, "slide_2w_1w"))
 
 
 QUERIES = {
@@ -99,15 +107,36 @@ QUERIES = {
 
 ORACLES = {
     # epoch(ts) is DOUBLE in DuckDB; floor() before the multiply
-    # (integer // would true-divide), make_timestamp takes microseconds
+    # (integer // would true-divide), make_timestamp takes microseconds.
+    # Sliding leg: each raw event fans to every window start k*WEEK in
+    # (t - 2 weeks, t] — the exact covering-window set (the engine fans
+    # BUCKETS, but a window covering a bucket contains all its events
+    # and every event's covering window covers its whole bucket, since
+    # week edges are bucket edges — so the window sets coincide).
     "ht_rollup_window_events": f"""
-        SELECT make_timestamp(CAST(floor(epoch(ts) / {WEEK}) AS BIGINT)
+        SELECT 'tumble_1w' AS leg,
+               make_timestamp(CAST(floor(epoch(ts) / {WEEK}) AS BIGINT)
                               * {WEEK} * 1000000) AS window_start,
                event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
                count(value) AS n
         FROM events
         WHERE ts IS NOT NULL
-        GROUP BY 1, 2
+        GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'slide_2w_1w' AS leg,
+               make_timestamp(k * {WEEK} * 1000000) AS window_start,
+               event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               count(value) AS n
+        FROM (
+            SELECT event_type, value,
+                   unnest(generate_series(
+                       CAST(floor((epoch(ts) - {2 * WEEK}) / {WEEK}) AS BIGINT) + 1,
+                       CAST(floor(epoch(ts) / {WEEK}) AS BIGINT))) AS k
+            FROM events
+            WHERE ts IS NOT NULL
+        )
+        GROUP BY 1, 2, 3
     """,
 }
