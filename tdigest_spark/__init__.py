@@ -59,6 +59,7 @@ _EXPORTS = {
         "hypertable_downsample",
     ),
     "hypertable_sink": ("tdigest_spark.operators.hypertable", "hypertable_sink"),
+    "hypertable_info": ("tdigest_spark.operators.hypertable", "hypertable_info"),
     "sketch_hypertable_upsert": (
         "tdigest_spark.operators.hypertable",
         "sketch_hypertable_upsert",

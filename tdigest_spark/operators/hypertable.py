@@ -69,6 +69,7 @@ from tdigest_spark.streaming.digest_stream import (
 
 __all__ = [
     "hypertable_downsample",
+    "hypertable_info",
     "hypertable_sink",
     "hypertable_sliding_stats",
     "hypertable_upsert",
@@ -628,6 +629,64 @@ def sketch_hypertable_sliding(
     return sketch_estimates(
         _ws_to_timestamp(merged, [*by, *kinds]), dict(estimates)
     )
+
+
+def hypertable_info(
+    spark: SparkSession,
+    table_dir: str,
+    bucket_sec: int,
+    value_cols: Sequence[str] = ("digest",),
+) -> dict:
+    """Observability snapshot of a rollup table (the metrics half of
+    the checkpoint/lineage story): the committed ingest id + snapshot
+    revision from the pointer, group keys, and per-width bucket counts
+    with their time coverage — one sketch-sized scan of the rollup
+    table (never raw data). Returns a plain dict so jobs can log it as
+    JSON next to their manifests.
+
+    ``value_cols`` are the sketch columns (``("digest",)`` for the
+    t-digest table; the blob columns for a companion-sketch table)."""
+    from datetime import datetime, timezone
+
+    last = _last_committed_batch(table_dir)
+    if last is None:
+        raise ValueError(f"hypertable_info: no table at {table_dir!r}")
+    t = spark.read.parquet(table_dir)
+    if "bucket_sec" not in t.columns:
+        t = t.withColumn("bucket_sec", F.lit(int(bucket_sec)).cast("long"))
+    keys = [
+        c for c in t.columns if c not in ("bucket_start", "bucket_sec", *value_cols)
+    ]
+    per_width = (
+        t.groupBy("bucket_sec")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("bucket_start").alias("first_start"),
+            F.max(
+                F.col("bucket_start").cast("double") + F.col("bucket_sec")
+            ).alias("last_end"),
+        )
+        .collect()
+    )
+    return {
+        "last_ingest_id": last,
+        "snapshot_rev": _current_snapshot_rev(table_dir),
+        "group_keys": keys,
+        "value_cols": list(value_cols),
+        "n_rows": sum(r["rows"] for r in per_width),
+        "widths": {
+            int(r["bucket_sec"]): {
+                "rows": r["rows"],
+                "first_start": str(r["first_start"]),
+                "last_end": str(
+                    datetime.fromtimestamp(
+                        r["last_end"], timezone.utc
+                    ).replace(tzinfo=None)
+                ),
+            }
+            for r in per_width
+        },
+    }
 
 
 def hypertable_sink(

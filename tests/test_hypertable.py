@@ -416,6 +416,39 @@ def test_sketch_hypertable_downsample_estimates_unchanged(spark, tmp_path):
         assert n == before[(w, g)][1] + (n_late.get(g, 0) if w == wk0 else 0)
 
 
+def test_hypertable_info(spark, tmp_path):
+    """Metrics snapshot: ingest id + snapshot revision off the pointer,
+    per-width bucket counts and coverage off one rollup-table scan."""
+    from tdigest_spark.operators.hypertable import (
+        hypertable_downsample,
+        hypertable_info,
+    )
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_info")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    info = hypertable_info(spark, table, DAY)
+    assert info["last_ingest_id"] == 0 and info["snapshot_rev"] == 0
+    assert info["group_keys"] == ["g"]
+    # _mk_events: one group per day -> 28 day-buckets
+    assert set(info["widths"]) == {DAY} and info["n_rows"] == 28
+    assert info["widths"][DAY]["first_start"].startswith("2024-01-01")
+    hypertable_downsample(
+        spark, table, DAY, "2024-01-29T00:00:00+00:00",
+        tiers=[(14 * DAY, WEEK)], bump_id=False,
+    )
+    info = hypertable_info(spark, table, DAY)
+    # bump_id=False: same id, revision advanced. Epoch-aligned weeks
+    # start on Thursdays (Jan 4 / Jan 11 2024); weeks ending by Jan 15
+    # are [Dec 28, Jan 4) (3 day-rows) and [Jan 4, Jan 11) (7
+    # day-rows) — each merges to 2 rows (g alternates per day), so
+    # 10 day-rows become 4 week-rows: 28 - 10 + 4 = 22.
+    assert info["last_ingest_id"] == 0 and info["snapshot_rev"] == 1
+    assert set(info["widths"]) == {DAY, WEEK}
+    assert info["widths"][WEEK]["rows"] == 4 and info["n_rows"] == 22
+    assert info["widths"][WEEK]["last_end"].startswith("2024-01-11")
+
+
 # ------------------------------------------------------------ sliding windows
 
 
