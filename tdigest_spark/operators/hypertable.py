@@ -544,6 +544,10 @@ def _sliding_rows(
             f"widths: {bad}"
         )
     payload = [c for c in t.columns if c not in ("bucket_start", "bucket_sec")]
+    if not widths:
+        # a retention pass can legitimately empty the table; match
+        # _windowed_rows' graceful empty result instead of indexing
+        return t.select(F.lit(0).cast("long").alias("__ws"), *payload).limit(0)
     parts = []
     for w in widths:
         rows_w = (
@@ -657,17 +661,26 @@ def hypertable_info(
     keys = [
         c for c in t.columns if c not in ("bucket_start", "bucket_sec", *value_cols)
     ]
+    # both coverage endpoints computed from EPOCH seconds and rendered
+    # in UTC: a collected TimestampType would render via the driver's
+    # OS timezone, disagreeing with the UTC arithmetic endpoint on any
+    # non-UTC host
     per_width = (
         t.groupBy("bucket_sec")
         .agg(
             F.count("*").alias("rows"),
-            F.min("bucket_start").alias("first_start"),
+            F.min(F.col("bucket_start").cast("double")).alias("first_start"),
             F.max(
                 F.col("bucket_start").cast("double") + F.col("bucket_sec")
             ).alias("last_end"),
         )
         .collect()
     )
+
+    def _utc(sec: float) -> str:
+        return str(
+            datetime.fromtimestamp(sec, timezone.utc).replace(tzinfo=None)
+        )
     return {
         "last_ingest_id": last,
         "snapshot_rev": _current_snapshot_rev(table_dir),
@@ -677,12 +690,8 @@ def hypertable_info(
         "widths": {
             int(r["bucket_sec"]): {
                 "rows": r["rows"],
-                "first_start": str(r["first_start"]),
-                "last_end": str(
-                    datetime.fromtimestamp(
-                        r["last_end"], timezone.utc
-                    ).replace(tzinfo=None)
-                ),
+                "first_start": _utc(r["first_start"]),
+                "last_end": _utc(r["last_end"]),
             }
             for r in per_width
         },

@@ -513,6 +513,30 @@ def test_hypertable_sliding_mixed_widths_and_validation(spark, tmp_path):
         hypertable_sliding_stats(spark, table, DAY, WEEK, DAY, _stats_map(), by=["g"])
 
 
+def test_hypertable_sliding_and_info_on_emptied_table(spark, tmp_path):
+    """A retention pass that drops EVERYTHING leaves a valid empty
+    table: sliding stats return an empty frame (not IndexError), and
+    hypertable_info reports zero coverage."""
+    from tdigest_spark.operators.hypertable import (
+        hypertable_downsample,
+        hypertable_info,
+        hypertable_sliding_stats,
+    )
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_empty")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    hypertable_downsample(
+        spark, table, DAY, "2030-01-01T00:00:00+00:00", tiers=(),
+        drop_older_than=DAY,
+    )
+    got = hypertable_sliding_stats(spark, table, DAY, WEEK, DAY, _stats_map(), by=["g"])
+    assert got.count() == 0
+    assert {"window_start", "g", "p50", "n"} <= set(got.columns)
+    info = hypertable_info(spark, table, DAY)
+    assert info["n_rows"] == 0 and info["widths"] == {}
+
+
 def test_sketch_hypertable_sliding_matches_one_shot(spark, tmp_path):
     """Sliding sketch estimates from the rollup == the one-shot
     sketch_sliding batch build over raw rows (merge re-association),
