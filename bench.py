@@ -393,6 +393,8 @@ def run_scaling(
 
     e2e_rounds = []
     e2e_net_rounds = []
+    e2e_sec_lo_rounds = []
+    e2e_sec_hi_rounds = []
     e2e_loads = []
     floor_hi = []
     floor_lo = []
@@ -426,6 +428,8 @@ def run_scaling(
             tdigest_agg(hi, "v", delta=200).count()
             t_hi.append(time.perf_counter() - t0)
         r_lo, r_hi = min(t_lo), min(t_hi)
+        e2e_sec_lo_rounds.append(round(r_lo, 3))
+        e2e_sec_hi_rounds.append(round(r_hi, 3))
         eff = round((r_lo / r_hi) / ratio, 3)
         e2e_rounds.append(eff)
         # floor-netted compute efficiency: subtract each leg's measured
@@ -471,9 +475,15 @@ def run_scaling(
         #   Arrow pipe) — the N-vs-4N-executor analog and the scaling
         #   figure of record.
         "efficiency_e2e_shared_jvm": round((s_lo / s_hi) / ratio, 3),
+        # best across rounds; the round that produced it is
+        # reconstructable from e2e_net_rounds + the per-round sec /
+        # floor arrays below (sec_lo/sec_hi/floor_*_best belong to the
+        # best-RAW round, which may be a different round)
         "efficiency_e2e_compute": best_net,
         "e2e_rounds": e2e_rounds,
         "e2e_net_rounds": e2e_net_rounds,
+        "e2e_sec_lo_per_round": e2e_sec_lo_rounds,
+        "e2e_sec_hi_per_round": e2e_sec_hi_rounds,
         "e2e_load_avg_per_round": e2e_loads,
         # pass-through (no sketch work) time per round at each task
         # count: the Arrow-transfer floor actually subtracted above

@@ -133,11 +133,14 @@ def bpe_token_count(text: Column) -> Column:
         from functools import lru_cache
 
         per_word = lru_cache(maxsize=65536)(_bpe_split_word)
+        # NULL text -> NULL count (nullable Int64), matching the
+        # codegen modes — the fidelity modes must be drop-in
+        # substitutes, so NULL handling cannot differ between them
         return s.map(
-            lambda t: 0
+            lambda t: None
             if t is None
             else sum(per_word(w) for w in t.lower().split(" ")),
-        ).astype("int64")
+        ).astype("Int64")
 
     # set REAL annotation objects: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot resolve here

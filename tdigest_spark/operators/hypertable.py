@@ -176,6 +176,17 @@ def _downsample_core(
                 "tier widths must strictly increase with age "
                 f"(got width {width} at age {age} after width {prev_w})"
             )
+        if width % prev_w != 0:
+            # the chain requirement keeps every coarsening a strict
+            # re-bucketing: a week row can never straddle a 30-day
+            # "month" boundary if months don't exist — each width must
+            # nest inside the next (day -> week -> 4 weeks), or a
+            # straddling row's mass would land in the wrong window
+            raise ValueError(
+                "tier widths must form a divisibility chain "
+                f"(width {width} at age {age} is not a multiple of the "
+                f"previous width {prev_w})"
+            )
         prev_w = width
     last = _last_committed_batch(table_dir)
     if last is None:
@@ -213,8 +224,16 @@ def _downsample_core(
     width_expr = F.col("bucket_sec")
     for age, width in tiers:
         tgt_start = F.floor(start / F.lit(width)) * F.lit(width)
-        eligible = (tgt_start + F.lit(width) <= F.lit(now - age)) & (
-            F.col("bucket_sec") < F.lit(width)
+        eligible = (
+            (tgt_start + F.lit(width) <= F.lit(now - age))
+            & (F.col("bucket_sec") < F.lit(width))
+            # containment guard: the row's CURRENT bucket must nest
+            # inside the target bucket. Impossible to violate for rows
+            # this schedule produced (widths form a divisibility
+            # chain), but a table carrying widths from an EARLIER,
+            # different schedule could straddle the target boundary —
+            # such rows stay at their width rather than mis-bucket
+            & (start + F.col("bucket_sec") <= tgt_start + F.lit(width))
         )
         width_expr = F.when(eligible, F.lit(width).cast("long")).otherwise(width_expr)
     t = t.withColumn("_new_sec", width_expr).withColumn(

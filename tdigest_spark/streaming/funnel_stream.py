@@ -89,8 +89,11 @@ def stateful_funnel_stream(
         row: dict = {c: [kv] for c, kv in zip(by, key)}
         row["steps_completed"] = [done]
         for j in range(k):
+            # tz-aware UTC: a NAIVE epoch-rebuilt Timestamp would be
+            # re-localized by the Arrow serializer to the session
+            # timezone, shifting every step time on non-UTC sessions
             row[f"t_step_{j + 1}"] = [
-                None if t[j] is None else pd.Timestamp(t[j], unit="s")
+                None if t[j] is None else pd.Timestamp(t[j], unit="s", tz="UTC")
             ]
         yield pd.DataFrame(row)
 

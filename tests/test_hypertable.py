@@ -289,6 +289,48 @@ def test_downsample_validation(spark, tmp_path):
         )
     with pytest.raises(TypeError, match="as_of"):
         hypertable_downsample(spark, table, DAY, True, tiers=[(DAY, WEEK)])
+    # widths that both divide bucket_sec but not EACH OTHER could make
+    # a finer row straddle its coarse target bucket — rejected loudly
+    with pytest.raises(ValueError, match="divisibility chain"):
+        hypertable_downsample(
+            spark, table, DAY, 0.0, tiers=[(7 * DAY, 2 * DAY), (30 * DAY, 5 * DAY)]
+        )
+
+
+def test_downsample_two_tier_chain_exact(spark, tmp_path):
+    """A two-tier chain (day -> week -> 4 weeks) coarsens in one pass
+    and 4-week window stats stay exact vs the direct build."""
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_chain")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    hypertable_downsample(
+        spark, table, DAY, "2024-03-01T00:00:00+00:00",
+        tiers=[(7 * DAY, WEEK), (21 * DAY, 4 * WEEK)],
+    )
+    widths = {
+        r.bucket_sec
+        for r in spark.read.parquet(table).select("bucket_sec").distinct().collect()
+    }
+    assert 4 * WEEK in widths and WEEK in widths
+    W4 = 4 * WEEK
+    got = hypertable_window_stats(spark, table, DAY, W4, _stats_map(), by=["g"])
+    direct = tdigest_stats(
+        tdigest_agg(
+            ev.withColumn(
+                "window_start",
+                F.to_timestamp(
+                    F.floor(F.col("ts").cast("timestamp").cast("double") / W4) * W4
+                ),
+            ),
+            "value",
+            by=["window_start", "g"],
+            delta=LOSSLESS,
+        ),
+        _stats_map(),
+    )
+    assert _as_map(got) == _as_map(direct)
 
 
 # --------------------------------------------------------- sketch hypertable

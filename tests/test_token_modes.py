@@ -120,3 +120,22 @@ def test_packing_budget_at_subword_mode(spark):
     assert sorted(pdf["doc_id"]) == list(range(120))  # exactly once
     seq = pdf.groupby("seq_id").agg(total=("n_tokens", "sum"), n=("doc_id", "size"))
     assert (seq[seq["n"] > 1]["total"] <= budget).all()
+
+
+def test_all_modes_agree_on_null_text(spark):
+    """NULL text yields NULL (not 0) in EVERY fidelity mode — the
+    modes must be drop-in substitutes, so aggregates over a corpus
+    with NULL rows cannot change value by switching modes."""
+    df = spark.createDataFrame([(1, "one two"), (2, None)], "id long, text string")
+    row = {
+        m: {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", token_count(F.col("text"), mode=m).alias("n")
+            ).collect()
+        }
+        for m in ("whitespace", "subword", "bpe")
+    }
+    for m, got in row.items():
+        assert got[2] is None, m
+        assert got[1] is not None and got[1] > 0, m
