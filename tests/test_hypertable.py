@@ -726,6 +726,42 @@ def test_downsample_bump_id_false_idempotent_and_validates(spark, tmp_path):
     assert rows1 == rows2
 
 
+def test_snapshot_revision_pruning(spark, tmp_path):
+    """Revision commits (bump_id=False) follow the same keep-2 pruning
+    as id commits: the pointer always resolves, mixed id/rev
+    generations sort correctly, and an id bump after revisions resumes
+    the chain."""
+    import os
+
+    from tdigest_spark.operators.hypertable import hypertable_downsample
+    from tdigest_spark.streaming.digest_stream import _last_committed_batch
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_rev")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+
+    def snaps():
+        return sorted(os.listdir(f"{table}.snapshots"))
+
+    assert snaps() == ["v0"]
+    for _ in range(3):
+        hypertable_downsample(
+            spark, table, DAY, "2024-01-29T00:00:00+00:00",
+            tiers=[(14 * DAY, WEEK)], bump_id=False,
+        )
+    # three revisions at id 0; keep-2 pruning leaves the last two
+    assert snaps() == ["v0.2", "v0.3"]
+    assert os.path.basename(os.readlink(table)) == "v0.3"
+    assert _last_committed_batch(table) == 0
+    # a later real ingest bumps the id chain past the revisions
+    late = _mk_events(spark, n_days=1)
+    hypertable_upsert(late, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    assert _last_committed_batch(table) == 1
+    assert snaps() == ["v0.3", "v1"]
+    n = spark.read.parquet(table).count()
+    assert n > 0
+
+
 def test_sketch_hypertable_sink_matches_one_shot(spark, tmp_path):
     """Streamed companion-sketch rollup == one-shot batch build
     (estimate-exact), through the foreachBatch sink."""
