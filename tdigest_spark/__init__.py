@@ -60,6 +60,7 @@ _EXPORTS = {
     ),
     "hypertable_sink": ("tdigest_spark.operators.hypertable", "hypertable_sink"),
     "hypertable_info": ("tdigest_spark.operators.hypertable", "hypertable_info"),
+    "gapfill_windows": ("tdigest_spark.operators.hypertable", "gapfill_windows"),
     "sketch_hypertable_upsert": (
         "tdigest_spark.operators.hypertable",
         "sketch_hypertable_upsert",

@@ -68,6 +68,7 @@ from tdigest_spark.streaming.digest_stream import (
 )
 
 __all__ = [
+    "gapfill_windows",
     "hypertable_downsample",
     "hypertable_info",
     "hypertable_sink",
@@ -651,6 +652,94 @@ def sketch_hypertable_sliding(
     merged = sketch_merge_agg(ex, kinds, by=["__ws", *by])
     return sketch_estimates(
         _ws_to_timestamp(merged, [*by, *kinds]), dict(estimates)
+    )
+
+
+def gapfill_windows(
+    df: DataFrame,
+    window_sec: int,
+    by: Sequence[str] = (),
+    fill: str = "null",
+    window_col: str = "window_start",
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Densify a windowed stats/estimates table (the TimescaleDB
+    ``time_bucket_gapfill`` shape): emit EVERY epoch-aligned window in
+    the covered range for every group, so dashboards see gaps instead
+    of silently skipping empty periods. Composable over any
+    (window_start, keys, values...) table — the output of
+    ``hypertable_window_stats``, ``sketch_hypertable_window``, their
+    sliding twins, or any windowed aggregate.
+
+    ``fill="null"``: missing windows carry NULL values. ``"locf"``
+    (last observation carried forward): missing windows repeat the
+    group's most recent observed values (leading gaps stay NULL); the
+    value columns are packed into ONE struct before the
+    ``last(ignorenulls)`` window so a gap can never mix fields from
+    different source rows. Interpolation is deliberately not offered —
+    linearly interpolating quantiles or distinct counts is
+    statistically meaningless.
+
+    ``start``/``end`` (epoch seconds, ISO string, or datetime) extend
+    or clip the densified range; default is the observed min/max
+    window per the whole table. Output adds a ``gap_filled`` boolean.
+
+    Scale shape: the grid is groups x O(range/window) rows — rollup-
+    sized, never raw data. The locf window partitions by group (keyless
+    input -> one partition of O(windows) rows, bounded by the range)."""
+    from pyspark.sql import Window
+
+    if fill not in ("null", "locf"):
+        raise ValueError(f"gapfill_windows: unknown fill mode {fill!r}")
+    if window_sec <= 0:
+        raise ValueError("window_sec must be positive")
+    by = list(by)
+    vals = [c for c in df.columns if c != window_col and c not in by]
+    spark = df.sparkSession
+    w = int(window_sec)
+    ep = F.col(window_col).cast("double")
+    bounds = None
+    if start is None or end is None:
+        b = df.agg(F.min(ep).alias("lo"), F.max(ep).alias("hi")).collect()[0]
+        if b["lo"] is None and (start is None or end is None):
+            return df.withColumn("gap_filled", F.lit(False)).limit(0)
+        bounds = b
+    lo = _epoch(start) if start is not None else bounds["lo"]
+    hi = _epoch(end) if end is not None else bounds["hi"]
+    lo_k, hi_k = int(lo // w), int(hi // w)
+    if hi_k < lo_k:
+        raise ValueError(f"empty gapfill range: start {lo} > end {hi}")
+    groups = df.select(*by).distinct() if by else spark.range(1).drop("id")
+    grid = (
+        groups.withColumn(
+            "__wk", F.explode(F.sequence(F.lit(lo_k), F.lit(hi_k)))
+        )
+        .withColumn(window_col, F.timestamp_seconds(F.col("__wk") * F.lit(w)))
+        .drop("__wk")
+    )
+    # null-safe LEFT join: group keys may be NULL; right side renamed
+    # (grid derives from df — same-plan refs would be ambiguous)
+    right = df.withColumnsRenamed({c: f"_r_{c}" for c in [window_col, *by]})
+    cond = F.col(window_col).eqNullSafe(F.col(f"_r_{window_col}"))
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    joined = grid.join(right, cond, "left")
+    present = F.col(f"_r_{window_col}").isNotNull()
+    if fill == "locf":
+        packed = F.when(present, F.struct(*[F.col(c) for c in vals]))
+        spec = (
+            Window.partitionBy(*by) if by else Window.partitionBy()
+        ).orderBy(window_col).rowsBetween(Window.unboundedPreceding, 0)
+        filled = F.last(packed, ignorenulls=True).over(spec)
+        out_vals = [filled[c].alias(c) for c in vals]
+    else:
+        out_vals = [F.col(c) for c in vals]
+    return joined.select(
+        window_col,
+        *by,
+        *out_vals,
+        (~present).alias("gap_filled"),
     )
 
 

@@ -803,3 +803,114 @@ def test_sketch_hypertable_sink_matches_one_shot(spark, tmp_path):
         _sk_ests(),
     )
     assert _sk_week_map(got) == _sk_week_map(oneshot)
+
+
+# ------------------------------------------------------------------- gapfill
+
+
+def _mk_gappy(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=d, hours=h), f"g{d % 2}", float(d * 10 + h))
+        for d in (0, 1, 2, 5, 6)  # days 3-4 missing
+        for h in range(3)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, g string, value double")
+
+
+def test_gapfill_null_matches_duckdb(spark, tmp_path):
+    """fill='null' densification == a DuckDB generate_series +
+    left-join twin over the same window stats."""
+    import duckdb
+
+    from tdigest_spark.operators.hypertable import gapfill_windows
+
+    df = _mk_gappy(spark)
+    table = str(tmp_path / "gf")
+    hypertable_upsert(df, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    stats = hypertable_window_stats(spark, table, DAY, DAY, _stats_map(), by=["g"])
+    got = gapfill_windows(stats, DAY, by=["g"], fill="null")
+    gm = {
+        (r.window_start, r.g): (
+            None if r.p50 is None else round(r.p50, 6),
+            None if r.n is None else int(r.n),
+            r.gap_filled,
+        )
+        for r in got.collect()
+    }
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    om = {
+        (r.ws.to_pydatetime(), r.g): (
+            None if r.p50 != r.p50 else round(r.p50, 6),  # NaN check
+            None if r.n != r.n else int(r.n),
+            bool(r.gap_filled),
+        )
+        for r in con.execute(f"""
+            WITH stats AS (
+              SELECT make_timestamp(CAST(floor(epoch(ts)/{DAY}) AS BIGINT)
+                                    * {DAY} * 1000000) AS ws,
+                     g, quantile_cont(value, 0.5) AS p50,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM ev GROUP BY 1, 2),
+            bounds AS (SELECT min(ws) AS lo, max(ws) AS hi FROM stats),
+            grid AS (
+              SELECT g, unnest(generate_series((SELECT lo FROM bounds),
+                                               (SELECT hi FROM bounds),
+                                               INTERVAL 1 DAY)) AS ws
+              FROM (SELECT DISTINCT g FROM stats))
+            SELECT grid.ws, grid.g, s.p50, s.n,
+                   s.ws IS NULL AS gap_filled
+            FROM grid LEFT JOIN stats s
+              ON grid.ws = s.ws AND grid.g = s.g
+        """).df().itertuples()
+    }
+    assert gm == om
+    # grid spans the global 7 days per group; g alternates by day, so
+    # g0 (days 0,2,6) has 4 gaps and g1 (days 1,5) has 5
+    assert sum(1 for v in gm.values() if v[2]) == 9
+
+
+def test_gapfill_locf_and_range(spark, tmp_path):
+    """locf carries the whole stat struct forward per group; leading
+    gaps (including rows added by an earlier explicit start) stay
+    NULL; bad fill mode raises; empty input stays empty."""
+    from tdigest_spark.operators.hypertable import gapfill_windows
+
+    df = _mk_gappy(spark)
+    table = str(tmp_path / "gfl")
+    hypertable_upsert(df, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    stats = hypertable_window_stats(spark, table, DAY, DAY, _stats_map(), by=["g"])
+    base = stats.toPandas().sort_values(["g", "window_start"])
+    got = gapfill_windows(
+        stats, DAY, by=["g"], fill="locf",
+        start="2023-12-30T00:00:00+00:00",
+    ).toPandas().sort_values(["g", "window_start"], ignore_index=True)
+    # expected: densify per group then pandas ffill over (p50, n)
+    for g, sub in got.groupby("g"):
+        sub = sub.reset_index(drop=True)
+        obs = base[base["g"] == g].set_index("window_start")
+        last = None
+        for _, row in sub.iterrows():
+            if row["window_start"] in obs.index:
+                assert not row["gap_filled"]
+                last = obs.loc[row["window_start"]]
+                assert round(row["p50"], 6) == round(last["p50"], 6)
+                assert row["n"] == last["n"]
+            else:
+                assert row["gap_filled"]
+                if last is None:  # leading gap: nothing to carry
+                    assert row["p50"] != row["p50"] or row["p50"] is None
+                else:
+                    assert round(row["p50"], 6) == round(last["p50"], 6)
+                    assert row["n"] == last["n"]
+    # explicit earlier start adds leading windows for every group
+    assert (got.groupby("g")["window_start"].min() == got["window_start"].min()).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fill mode"):
+        gapfill_windows(stats, DAY, by=["g"], fill="interpolate")
+    empty = gapfill_windows(stats.limit(0), DAY, by=["g"])
+    assert empty.count() == 0 and "gap_filled" in empty.columns
