@@ -914,3 +914,55 @@ def test_gapfill_locf_and_range(spark, tmp_path):
         gapfill_windows(stats, DAY, by=["g"], fill="interpolate")
     empty = gapfill_windows(stats.limit(0), DAY, by=["g"])
     assert empty.count() == 0 and "gap_filled" in empty.columns
+
+
+# ----------------------------------------------------------------- plan shape
+
+
+def _n_exchanges(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return (
+        sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "Reused" not in line
+        ),
+        plan,
+    )
+
+
+def test_sliding_fanout_is_narrow(spark, tmp_path):
+    """The pane fan-out (explode to covering windows) adds NO shuffle:
+    the only Exchange in a sliding read is the per-window merge."""
+    from tdigest_spark.operators.hypertable import (
+        _sliding_rows,
+        hypertable_sliding_stats,
+    )
+
+    ev = _mk_events(spark)
+    table = str(tmp_path / "ht_plan")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    n, plan = _n_exchanges(_sliding_rows(spark, table, DAY, WEEK, DAY))
+    assert n == 0, plan  # explode+filter only — narrow
+    n, plan = _n_exchanges(
+        hypertable_sliding_stats(spark, table, DAY, WEEK, DAY, _stats_map(), by=["g"])
+    )
+    assert n == 1, plan  # exactly the merge's partial->final Exchange
+
+
+def test_gapfill_grid_join_no_raw_shuffle(spark, tmp_path):
+    """gapfill's grid join shuffles only sketch-table-sized inputs:
+    the whole null-fill plan carries no more Exchanges than the
+    underlying window read plus the grid join itself."""
+    from tdigest_spark.operators.hypertable import gapfill_windows
+
+    ev = _mk_gappy(spark)
+    table = str(tmp_path / "gf_plan")
+    hypertable_upsert(ev, "value", "ts", DAY, table, by=["g"], delta=LOSSLESS)
+    stats = hypertable_window_stats(spark, table, DAY, DAY, _stats_map(), by=["g"])
+    base_n, _ = _n_exchanges(stats)
+    n, plan = _n_exchanges(gapfill_windows(stats, DAY, by=["g"], fill="null"))
+    # grid build (distinct + explode) and the left join add bounded
+    # sketch-sized Exchanges on top of the window read — never a raw scan
+    assert n <= base_n + 3, plan
+    assert "Scan parquet" not in plan or "digest" in plan
