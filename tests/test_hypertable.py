@@ -966,3 +966,36 @@ def test_gapfill_grid_join_no_raw_shuffle(spark, tmp_path):
     # sketch-sized Exchanges on top of the window read — never a raw scan
     assert n <= base_n + 3, plan
     assert "Scan parquet" not in plan or "digest" in plan
+
+
+def test_gapfill_composes_with_sketch_estimates(spark, tmp_path):
+    """gapfill_windows is payload-agnostic: densifying a
+    sketch_hypertable_window estimates table fills distinct-count /
+    total columns per group with locf carry."""
+    from tdigest_spark.operators.hypertable import (
+        gapfill_windows,
+        sketch_hypertable_upsert,
+        sketch_hypertable_window,
+    )
+
+    ev = _mk_uid_events(spark, n_days=28).filter(
+        # knock out week 2 (epoch weeks; Jan 11-17 inclusive)
+        ~F.col("ts").between("2024-01-11", "2024-01-18")
+    )
+    table = str(tmp_path / "gf_sk")
+    sketch_hypertable_upsert(ev, _sk_specs(), "ts", DAY, table, by=["g"])
+    est = sketch_hypertable_window(
+        spark, table, DAY, WEEK, _sk_kinds(), _sk_ests(), by=["g"]
+    )
+    filled = gapfill_windows(est, WEEK, by=["g"], fill="locf").collect()
+    gaps = [r for r in filled if r.gap_filled]
+    assert gaps, "the knocked-out week must appear as a gap"
+    by_key = {(r.window_start, r.g): r for r in filled}
+    for r in gaps:
+        prev = [
+            o for (w, g), o in by_key.items()
+            if g == r.g and w < r.window_start and not o.gap_filled
+        ]
+        assert prev, "locf gaps must have an observed predecessor here"
+        last = max(prev, key=lambda o: o.window_start)
+        assert (r.nd, r.n, r.p50) == (last.nd, last.n, last.p50)
