@@ -24,6 +24,7 @@ from tdigest_spark.sketch.hashing import hash64
 __all__ = ["HLL"]
 
 _MAGIC = b"HLL1"
+_MAGIC_SPARSE = b"HLLS"
 
 
 def _alpha(m: int) -> float:
@@ -101,10 +102,35 @@ class HLL:
     # ---------------- wire format ----------------
 
     def to_bytes(self) -> bytes:
+        """Dense (magic ``HLL1``: p + 2^p register bytes) or SPARSE
+        (``HLLS``: p + count + sorted uint32 indices + their ranks),
+        whichever is smaller — the HLL++ sparse idea (Heule et al.
+        2013 §5.3) applied at the wire level. Groups with few distinct
+        values (the common case under a high-cardinality GROUP BY at
+        100 TB: most url/host groups are tiny) ship ~5 bytes per set
+        register instead of the full 4 KB array, which is what the
+        partial-stage shuffle actually carries. The format choice is a
+        pure function of the register STATE, so byte-parity invariants
+        (streamed == batch-built tables) are unaffected; in-memory
+        state stays dense either way."""
+        nz = np.flatnonzero(self.registers)
+        if 5 * nz.size + 4 < self.m:  # 9+5n < 5+m
+            return (
+                _MAGIC_SPARSE
+                + struct.pack("<BI", self.p, nz.size)
+                + nz.astype(np.uint32).tobytes()
+                + self.registers[nz].tobytes()
+            )
         return _MAGIC + struct.pack("<B", self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "HLL":
+        if b[:4] == _MAGIC_SPARSE:
+            p, n = struct.unpack("<BI", b[4:9])
+            idx = np.frombuffer(b[9 : 9 + 4 * n], dtype=np.uint32).astype(np.int64)
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx] = np.frombuffer(b[9 + 4 * n : 9 + 5 * n], dtype=np.uint8)
+            return cls(p, regs)
         assert b[:4] == _MAGIC, "bad HLL blob"
         p = struct.unpack("<B", b[4:5])[0]
         return cls(p, np.frombuffer(b[5:], dtype=np.uint8).copy())

@@ -344,3 +344,29 @@ def test_cms_inner_product_join_size():
 
     with _pytest.raises(ValueError, match="geometry"):
         ca.inner_product(CountMin(width=4096, depth=5))
+
+
+def test_hll_sparse_wire_format():
+    """Small-cardinality sketches serialize SPARSE (far under the 4 KB
+    dense array), round-trip exactly, and merge identically; large
+    ones stay dense; the choice is a pure function of state (same
+    state -> same bytes, preserving streamed==batch byte parity)."""
+    small = HLL(p=12).add(np.arange(10))
+    b = small.to_bytes()
+    assert b[:4] == b"HLLS" and len(b) < 100
+    rt = HLL.from_bytes(b)
+    assert rt.p == 12 and np.array_equal(rt.registers, small.registers)
+    assert rt.to_bytes() == b  # deterministic
+    big = HLL(p=12).add(np.arange(50_000))
+    bb = big.to_bytes()
+    assert bb[:4] == b"HLL1" and len(bb) == 5 + (1 << 12)
+    assert np.array_equal(HLL.from_bytes(bb).registers, big.registers)
+    # merge through the wire == direct merge
+    m1 = HLL.from_bytes(b).merge(HLL.from_bytes(bb))
+    m2 = small.merge(big)
+    assert np.array_equal(m1.registers, m2.registers)
+    # legacy dense blobs (pre-sparse format) still parse
+    import struct as _s
+
+    legacy = b"HLL1" + _s.pack("<B", 12) + small.registers.tobytes()
+    assert np.array_equal(HLL.from_bytes(legacy).registers, small.registers)
