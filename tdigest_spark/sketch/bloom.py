@@ -21,6 +21,7 @@ from tdigest_spark.sketch.hashing import hash_pair
 __all__ = ["BloomFilter"]
 
 _MAGIC = b"BLM1"
+_MAGIC_SPARSE = b"BLMS"
 
 
 @dataclass
@@ -78,10 +79,32 @@ class BloomFilter:
     # ---------------- wire format ----------------
 
     def to_bytes(self) -> bytes:
+        """Dense (magic ``BLM1``: header + packed bit array) or SPARSE
+        (``BLMS``: header + count + uint32 indices of nonzero BYTES +
+        their byte values), whichever is smaller — same wire-level
+        idea as the HLL/CMS sparse formats. A lightly-filled filter
+        (few distinct values in a group, or a large filter early in a
+        stream) ships ~5 bytes per set byte instead of n_bits/8. The
+        choice is a pure function of the bit STATE, so byte-parity
+        invariants are unaffected; in-memory state stays dense."""
+        nz = np.flatnonzero(self.bits)
+        if self.bits.size < 1 << 32 and 4 + 5 * nz.size < self.bits.size:
+            return (
+                _MAGIC_SPARSE
+                + struct.pack("<QHI", self.n_bits, self.n_hashes, nz.size)
+                + nz.astype(np.uint32).tobytes()
+                + self.bits[nz].tobytes()
+            )
         return _MAGIC + struct.pack("<QH", self.n_bits, self.n_hashes) + self.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "BloomFilter":
+        if b[:4] == _MAGIC_SPARSE:
+            n_bits, k, n = struct.unpack("<QHI", b[4:18])
+            idx = np.frombuffer(b[18 : 18 + 4 * n], dtype=np.uint32).astype(np.int64)
+            bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+            bits[idx] = np.frombuffer(b[18 + 4 * n : 18 + 5 * n], dtype=np.uint8)
+            return cls(n_bits, k, bits)
         assert b[:4] == _MAGIC, "bad Bloom blob"
         n_bits, k = struct.unpack("<QH", b[4:14])
         return cls(n_bits, k, np.frombuffer(b[14:], dtype=np.uint8).copy())

@@ -370,3 +370,73 @@ def test_hll_sparse_wire_format():
 
     legacy = b"HLL1" + _s.pack("<B", 12) + small.registers.tobytes()
     assert np.array_equal(HLL.from_bytes(legacy).registers, small.registers)
+
+
+def test_cms_sparse_wire_format():
+    """Few-distinct-key sketches serialize SPARSE (far under the 80 KB
+    dense table), round-trip exactly, merge identically through the
+    wire, and the choice is a pure function of state; legacy dense
+    blobs still parse."""
+    small = CountMin().add(np.array([f"k{i}" for i in range(20)], dtype=object))
+    b = small.to_bytes()
+    assert b[:4] == b"CMSS" and len(b) < 2_000
+    rt = CountMin.from_bytes(b)
+    assert (
+        rt.width == small.width
+        and rt.depth == small.depth
+        and rt.total == small.total
+        and np.array_equal(rt.table, small.table)
+    )
+    assert rt.to_bytes() == b  # deterministic
+    big = CountMin().add(np.arange(50_000).astype(str).astype(object))
+    bb = big.to_bytes()
+    assert bb[:4] == b"CMS1" and len(bb) == 20 + 8 * big.depth * big.width
+    assert np.array_equal(CountMin.from_bytes(bb).table, big.table)
+    m1 = CountMin.from_bytes(b).merge(CountMin.from_bytes(bb))
+    m2 = small.merge(big)
+    assert np.array_equal(m1.table, m2.table) and m1.total == m2.total
+    import struct as _s
+
+    legacy = (
+        b"CMS1"
+        + _s.pack("<IIq", small.width, small.depth, small.total)
+        + small.table.tobytes()
+    )
+    assert np.array_equal(CountMin.from_bytes(legacy).table, small.table)
+
+
+def test_bloom_sparse_wire_format():
+    """Lightly-filled filters serialize SPARSE, round-trip exactly,
+    merge identically through the wire; heavily-filled stay dense;
+    legacy dense blobs still parse."""
+    small = BloomFilter(n_bits=1 << 20).add(
+        np.array([f"u{i}" for i in range(50)], dtype=object)
+    )
+    b = small.to_bytes()
+    assert b[:4] == b"BLMS" and len(b) < 3_000
+    rt = BloomFilter.from_bytes(b)
+    assert (
+        rt.n_bits == small.n_bits
+        and rt.n_hashes == small.n_hashes
+        and np.array_equal(rt.bits, small.bits)
+    )
+    assert rt.to_bytes() == b
+    big = BloomFilter(n_bits=1 << 14, n_hashes=7).add(
+        np.arange(20_000).astype(str).astype(object)
+    )
+    bb = big.to_bytes()
+    assert bb[:4] == b"BLM1" and len(bb) == 14 + (1 << 14) // 8
+    assert np.array_equal(BloomFilter.from_bytes(bb).bits, big.bits)
+    sm2 = BloomFilter(n_bits=1 << 14, n_hashes=7).add(
+        np.array(["a", "b"], dtype=object)
+    )
+    m1 = BloomFilter.from_bytes(sm2.to_bytes()).merge(BloomFilter.from_bytes(bb))
+    m2 = sm2.merge(big)
+    assert np.array_equal(m1.bits, m2.bits)
+    assert bool(m1.might_contain(np.array(["a"], dtype=object))[0])
+    import struct as _s
+
+    legacy = (
+        b"BLM1" + _s.pack("<QH", small.n_bits, small.n_hashes) + small.bits.tobytes()
+    )
+    assert np.array_equal(BloomFilter.from_bytes(legacy).bits, small.bits)
