@@ -154,6 +154,9 @@ _EXPORTS = {
     "build_ivf_index": ("tdigest_spark.operators.similarity", "build_ivf_index"),
     "ivf_topk_indexed": ("tdigest_spark.operators.similarity", "ivf_topk_indexed"),
     "append_ivf_index": ("tdigest_spark.operators.similarity", "append_ivf_index"),
+    "train_pq_codebooks": ("tdigest_spark.operators.pq", "train_pq_codebooks"),
+    "with_pq_code": ("tdigest_spark.operators.pq", "with_pq_code"),
+    "pq_topk": ("tdigest_spark.operators.pq", "pq_topk"),
     # streaming
     "stateful_digest_stream": (
         "tdigest_spark.streaming.digest_stream",

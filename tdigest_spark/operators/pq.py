@@ -1,0 +1,300 @@
+"""Product quantization (PQ) for embedding columns — the vector
+compression layer of the similarity stack (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Why this exists at 100 TB: a ``float32[768]`` embedding is 3 KB/row;
+PQ at m=16 subspaces stores 16 BYTES/row (192× smaller), and queries
+score those codes with asymmetric distance computation (ADC): one
+(m × ksub) lookup table per query, then a table-gather + sum per
+corpus code — no float vector is ever read on the scan side. The
+companion-sketch pattern of this repo applied to vectors: train small
+(bounded driver-side sample, O(1) in table size), encode distributed
+(one Arrow pass), score distributed (codes + broadcast LUTs).
+
+Scale shape:
+* codebooks are (m, ksub, dim/m) — a few hundred KB; they ride the
+  task closure like the IVF centroids (``similarity.py``);
+* encoding is ``mapInPandas`` (vectorized argmin per subspace), the
+  corpus never shuffles;
+* ADC search broadcasts the query LUTs, scans ONLY the m-byte code
+  column (column pruning keeps the full vector out of the scan), and
+  keeps per-batch partial top-R so the post-scan shuffle carries
+  O(batches × queries × R) candidate rows, never the corpus;
+* optional exact re-rank touches full vectors for candidate ids only
+  (broadcast semi-join — at scale a point-lookup against the
+  persisted index).
+
+No reference counterpart (the reference is a numeric-sketch library,
+``tdigest/src/Data/TDigest/Internal.hs:4-7``); this extends the
+repo's training-data-pipeline surface (SURVEY.md §2 "similarity
+search") with the standard billion-scale ANN compression layer.
+
+Determinism: seeded k-means, lowest-index argmin ties, sample-order
+independence is NOT claimed (same (data, seed, sample) → same
+codebooks, matching ``train_ivf_centroids``'s contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tdigest_spark.operators.similarity import cosine_expr, with_norm
+
+__all__ = [
+    "train_pq_codebooks",
+    "with_pq_code",
+    "pq_encode",
+    "pq_reconstruct",
+    "pq_topk",
+]
+
+
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    sample: int = 8192,
+    seed: int = 7,
+    iters: int = 12,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded driver-side sample
+    (same O(1)-in-table-size rationale as ``train_ivf_centroids``).
+    Vectors are L2-normalized first (this stack's cosine regime: for
+    unit vectors cosine == dot, and dot decomposes exactly over
+    subspaces, which is what makes ADC a sum of table lookups).
+    Returns ``(m, ksub, dim // m)`` float64 codebooks.
+    """
+    if ksub < 1 or ksub > 256:
+        raise ValueError("train_pq_codebooks: ksub must be in [1, 256] (uint8 codes)")
+    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("train_pq_codebooks: corpus is empty")
+    X = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        Xs = X[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(Xs))
+        C = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        if k < ksub:  # degenerate tiny corpus: pad by repetition
+            C = np.vstack([C] * (ksub // k + 1))[:ksub]
+        C = C.copy()
+        for _ in range(iters):
+            # squared distance argmin == argmax(2 x·c - |c|²); Lloyd step
+            d2 = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                pts = Xs[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+                else:
+                    C[c] = Xs[rng.integers(0, len(Xs))]
+        books[j] = C
+    return books
+
+
+def pq_encode(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode unit-normalized rows -> (n, m) uint8 codes (numpy core,
+    shared by the Spark pass and tests)."""
+    m, ksub, dsub = codebooks.shape
+    X = _unit_rows(np.asarray(X, dtype=np.float64))
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for j in range(m):
+        Xs = X[:, j * dsub : (j + 1) * dsub]
+        C = codebooks[j]
+        d2 = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Decode (n, m) codes back to (n, dim) approximate vectors."""
+    m, ksub, dsub = codebooks.shape
+    codes = np.asarray(codes)
+    out = np.empty((len(codes), m * dsub), dtype=np.float64)
+    for j in range(m):
+        out[:, j * dsub : (j + 1) * dsub] = codebooks[j][codes[:, j]]
+    return out
+
+
+def with_pq_code(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-byte PQ code (``binary``) for each vector — one
+    Arrow-batched pass, codebooks ride the closure. This is the
+    distributed index build: persist ``(id, pq_code)`` and the scan
+    side of every later search reads m bytes per row."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = pq_encode(X, B)
+            out = pdf.copy()
+            out[out_col] = [c.tobytes() for c in codes]
+            yield out
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    rerank: int = 32,
+    codebooks: np.ndarray | None = None,
+    seed: int = 7,
+    query_id: str = "query_id",
+    batch_topr: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ/ADC with optional exact
+    re-rank.
+
+    Flow: (1) encode the corpus (one Arrow pass, never shuffled);
+    (2) per query build the ADC lookup table LUT[j, c] = q_j · C[j, c]
+    (unit-norm q, so Σ_j LUT[j, code_j] ≈ cosine); (3) scan the codes
+    with the LUTs in the closure, keeping a per-batch partial top-R
+    per query (R = max(k, rerank)) so only candidate rows leave the
+    scan; (4) global top-R per query; (5) if ``rerank`` > 0, exact
+    cosine on those candidates (broadcast id semi-join back to the
+    full vectors) and final top-k — ADC ranks the shortlist, exact
+    math ranks the answer.
+
+    Recall < 1 by construction (quantization); property tests pin
+    recall on clustered data, and the ADC-exactness invariant (scores
+    are EXACT dots against the reconstruction) is tested directly.
+    Output: (query_id, rank, id, cosine) — same shape as cosine_topk.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, ksub=ksub, seed=seed
+        )
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    mm = B.shape[0]
+    R = max(k, rerank if rerank > 0 else k)
+    topr = batch_topr or R
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    if len(qp) == 0:
+        raise ValueError("pq_topk: empty query set")
+    qids = qp[id_col].to_numpy()
+    Q = _unit_rows(np.vstack(qp[vec_col].to_numpy()).astype(np.float64))
+    dsub = B.shape[2]
+    # LUTs: (nq, m, ksub) — q's j-th block dotted with every codeword
+    luts = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ B[j].T for j in range(mm)], axis=1
+    )
+
+    enc = with_pq_code(corpus.select(id_col, vec_col), vec_col, B).select(
+        id_col, "pq_code"
+    )
+    id_dtype = corpus.schema[id_col].dataType
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[id_col].dataType),
+            T.StructField(id_col, id_dtype),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"].to_list()), dtype=np.uint8
+            ).reshape(n, mm)
+            # scores[q, i] = Σ_j luts[q, j, codes[i, j]]
+            scores = np.zeros((len(Q), n), dtype=np.float64)
+            for j in range(mm):
+                scores += luts[:, j, :][:, codes[:, j]]
+            r = min(topr, n)
+            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+            rows = {
+                query_id: np.repeat(qids, r),
+                id_col: pdf[id_col].to_numpy()[top.ravel()],
+                "adc": np.take_along_axis(scores, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cands = enc.mapInPandas(scan, cand_schema).where(
+        F.col(id_col) != F.col(query_id)
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cands.withColumn("__r", F.row_number().over(w_adc))
+        .where(F.col("__r") <= R)
+        .drop("__r")
+    )
+    if rerank <= 0:
+        return (
+            short.withColumn("rank", F.row_number().over(w_adc))
+            .where(F.col("rank") <= k)
+            .select(query_id, "rank", id_col, F.col("adc").alias("cosine"))
+        )
+    # exact re-rank: candidate ids are tiny — broadcast them onto the
+    # full-vector table, then exact cosine vs each query vector
+    qv = corpus.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                query_id: qids,
+                "__qv": [[float(x) for x in row] for row in Q],
+            }
+        ),
+        schema=T.StructType(
+            [
+                T.StructField(query_id, queries.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    vecs = with_norm(corpus.select(id_col, vec_col), vec_col)
+    scored = (
+        vecs.join(F.broadcast(short.select(query_id, id_col)), id_col)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id,
+            id_col,
+            cosine_expr(
+                F.col(vec_col), F.col("__qv"), F.col("__norm"), F.lit(1.0)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
+    )

@@ -1,0 +1,147 @@
+"""Product quantization (operators/pq.py): codebook training,
+encode/reconstruct invariants, ADC exactness, Spark parity, and
+recall on clustered data vs the exact brute-force baseline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tdigest_spark.operators.pq import (
+    pq_encode,
+    pq_reconstruct,
+    pq_topk,
+    train_pq_codebooks,
+    with_pq_code,
+)
+from tdigest_spark.operators.similarity import cosine_topk
+
+
+def _clustered(n_clusters=20, per=30, dim=32, seed=3):
+    """Well-separated unit-norm clusters: true neighbors are in-cluster."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.05 * rng.normal(size=(per, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for i, p in enumerate(pts):
+            rows.append((c * per + i, [float(x) for x in p]))
+    return rows
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"id": [r[0] for r in rows], "vec": [r[1] for r in rows]})
+    )
+
+
+def test_codebook_shapes_determinism_validation(spark):
+    rows = _clustered()
+    df = _corpus_df(spark, rows)
+    b1 = train_pq_codebooks(df, "vec", m=4, ksub=16, sample=400, seed=5, iters=4)
+    b2 = train_pq_codebooks(df, "vec", m=4, ksub=16, sample=400, seed=5, iters=4)
+    assert b1.shape == (4, 16, 8)
+    assert np.array_equal(b1, b2)  # same (data, seed, sample) -> same books
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(df, "vec", m=5)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq_codebooks(df, "vec", m=4, ksub=300)
+    with pytest.raises(ValueError, match="empty"):
+        train_pq_codebooks(df.where("id < 0"), "vec", m=4)
+
+
+def test_reconstruction_error_shrinks_with_m():
+    """More subspaces (same ksub) -> strictly finer quantization on
+    the same data (the PQ size/accuracy dial)."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(600, 32))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    def mse(m):
+        # train directly on the numpy sample (mirror of the Spark path)
+        import tdigest_spark.operators.pq as pqm
+
+        books = np.empty((m, 16, 32 // m))
+        r = np.random.default_rng(7)
+        for j in range(m):
+            Xs = X[:, j * (32 // m) : (j + 1) * (32 // m)]
+            C = Xs[r.choice(len(Xs), 16, replace=False)].copy()
+            for _ in range(8):
+                d2 = -2 * (Xs @ C.T) + (C * C).sum(1)[None, :]
+                a = np.argmin(d2, 1)
+                for c in range(16):
+                    if (a == c).any():
+                        C[c] = Xs[a == c].mean(0)
+            books[j] = C
+        codes = pqm.pq_encode(X, books)
+        return float(((pq_reconstruct(codes, books) - X) ** 2).mean())
+
+    assert mse(16) < mse(4) < mse(2)
+
+
+def test_adc_scores_are_exact_dots_against_reconstruction(spark):
+    """The ADC invariant: Σ_j LUT[j, code_j] == q · reconstruct(code)
+    exactly (float assoc aside) — ADC is exact math on the quantized
+    corpus, the only approximation is the quantization itself."""
+    rows = _clustered(n_clusters=6, per=20, dim=16, seed=9)
+    df = _corpus_df(spark, rows)
+    books = train_pq_codebooks(df, "vec", m=4, ksub=16, sample=200, seed=5, iters=6)
+    X = np.array([r[1] for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    codes = pq_encode(X, books)
+    recon = pq_reconstruct(codes, books)
+    q = X[0]
+    dsub = 4
+    lut = np.stack([q[j * dsub : (j + 1) * dsub] @ books[j].T for j in range(4)])
+    adc = np.array([lut[np.arange(4), codes[i]].sum() for i in range(len(X))])
+    assert np.allclose(adc, recon @ q, atol=1e-9)
+
+
+def test_with_pq_code_matches_numpy_and_is_partition_invariant(spark):
+    rows = _clustered(n_clusters=5, per=20, dim=16, seed=2)
+    df = _corpus_df(spark, rows)
+    books = train_pq_codebooks(df, "vec", m=4, ksub=16, sample=200, seed=5, iters=6)
+    got = {
+        r["id"]: bytes(r["pq_code"])
+        for r in with_pq_code(df, "vec", books).collect()
+    }
+    got8 = {
+        r["id"]: bytes(r["pq_code"])
+        for r in with_pq_code(df.repartition(8), "vec", books).collect()
+    }
+    X = np.array([r[1] for r in rows])
+    want = pq_encode(X, books)
+    for i, (rid, _) in enumerate(rows):
+        assert got[rid] == want[i].tobytes() == got8[rid]
+        assert len(got[rid]) == 4  # m bytes per vector on the wire
+
+
+def test_pq_topk_recall_on_clusters_and_rerank_exactness(spark):
+    rows = _clustered(n_clusters=10, per=25, dim=32, seed=4)
+    corpus = _corpus_df(spark, rows)
+    queries = _corpus_df(spark, rows[::25][:6])  # one query per cluster
+    exact = cosine_topk(corpus, queries, "id", "vec", k=5).toPandas()
+    approx = pq_topk(
+        corpus, queries, "id", "vec", k=5, m=8, ksub=32, rerank=40, seed=5
+    ).toPandas()
+    assert set(approx["query_id"]) == set(exact["query_id"])
+    assert (approx.groupby("query_id").size() == 5).all()
+    # recall@5 on well-separated clusters with a generous re-rank
+    hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["id"])
+        a = set(approx[approx.query_id == qid]["id"])
+        hits += len(e & a)
+    assert hits / (5 * 6) >= 0.9
+    # re-ranked cosines are EXACT (same values the brute-force path emits)
+    merged = approx.merge(exact, on=["query_id", "id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+    # ADC-only path (rerank=0) still returns k well-formed rows per query
+    adc_only = pq_topk(
+        corpus, queries, "id", "vec", k=5, m=8, ksub=32, rerank=0, seed=5
+    ).toPandas()
+    assert (adc_only.groupby("query_id").size() == 5).all()
+    assert (adc_only["cosine"] <= 1.01).all()
+    with pytest.raises(ValueError, match="empty"):
+        pq_topk(corpus, queries.where("id < 0"), "id", "vec")
