@@ -157,6 +157,7 @@ _EXPORTS = {
     "train_pq_codebooks": ("tdigest_spark.operators.pq", "train_pq_codebooks"),
     "with_pq_code": ("tdigest_spark.operators.pq", "with_pq_code"),
     "pq_topk": ("tdigest_spark.operators.pq", "pq_topk"),
+    "ivfpq_topk": ("tdigest_spark.operators.pq", "ivfpq_topk"),
     # streaming
     "stateful_digest_stream": (
         "tdigest_spark.streaming.digest_stream",

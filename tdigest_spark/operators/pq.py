@@ -52,6 +52,7 @@ __all__ = [
     "pq_encode",
     "pq_reconstruct",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -270,6 +271,158 @@ def pq_topk(
                 query_id: qids,
                 "__qv": [[float(x) for x in row] for row in Q],
             }
+        ),
+        schema=T.StructType(
+            [
+                T.StructField(query_id, queries.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    vecs = with_norm(corpus.select(id_col, vec_col), vec_col)
+    scored = (
+        vecs.join(F.broadcast(short.select(query_id, id_col)), id_col)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id,
+            id_col,
+            cosine_expr(
+                F.col(vec_col), F.col("__qv"), F.col("__norm"), F.lit(1.0)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    rerank: int = 32,
+    seed: int = 7,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS-style billion-scale shape): the
+    coarse quantizer prunes to ``nprobe`` of ``nlist`` cells, then ADC
+    scores only the m-byte codes inside probed cells, then the exact
+    re-rank touches full vectors for the shortlist only. At scale the
+    (cell, pq_code) table is the persisted index: cell is the
+    partition column (scan pruning, as in ``ivf_topk_indexed``) and
+    the code column is 8-16 bytes/row, so probing 4/64 cells of a
+    100 TB corpus reads ~0.03% of the raw bytes.
+
+    ``nprobe >= nlist`` with generous ``rerank`` approaches the exact
+    result; recall properties are pinned in ``tests/test_pq.py``.
+    Output: (query_id, rank, id, cosine).
+    """
+    from tdigest_spark.operators.similarity import (
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
+    nprobe = min(nprobe, C.shape[0])
+    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+
+    # index side: (id, cell, pq_code [, vec for the re-rank])
+    cells = with_ivf_cell(corpus.select(id_col, vec_col), vec_col, C, nprobe=1)
+    enc = with_pq_code(cells, vec_col, books).select(
+        id_col, F.col("cell")[0].alias("cell"), "pq_code"
+    )
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    if len(qp) == 0:
+        raise ValueError("ivfpq_topk: empty query set")
+    qids = qp[id_col].to_numpy()
+    Q = _unit_rows(np.vstack(qp[vec_col].to_numpy()).astype(np.float64))
+    sims = Q @ C.T
+    top = np.argsort(-sims, axis=1)[:, :nprobe]
+    dsub = books.shape[2]
+    luts = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )
+    # query -> probed cells (broadcast-small); per-query LUTs ride the closure
+    probe_cells = sorted({int(c) for r in top for c in r})
+    q_cells = {i: {int(c) for c in top[i]} for i in range(len(qids))}
+
+    R = max(k, rerank if rerank > 0 else k)
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[id_col].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"].to_list()), dtype=np.uint8
+            ).reshape(n, m)
+            batch_cells = pdf["cell"].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(batch_cells, list(q_cells[qi]))
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                scores = np.zeros(len(sub), dtype=np.float64)
+                for j in range(m):
+                    scores += luts[qi, j, :][sub[:, j]]
+                r = min(R, len(sub))
+                sel = np.argpartition(-scores, r - 1)[:r] if len(sub) > r else np.arange(len(sub))
+                ids_m = pdf[id_col].to_numpy()[mask]
+                out_q.append(np.repeat(qids[qi], len(sel)))
+                out_i.append(ids_m[sel])
+                out_s.append(scores[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cands = (
+        enc.where(F.col("cell").isin(probe_cells))  # cell pruning (at scale: partition filter)
+        .mapInPandas(scan, cand_schema)
+        .where(F.col(id_col) != F.col(query_id))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cands.withColumn("__r", F.row_number().over(w_adc))
+        .where(F.col("__r") <= R)
+        .drop("__r")
+    )
+    if rerank <= 0:
+        return (
+            short.withColumn("rank", F.row_number().over(w_adc))
+            .where(F.col("rank") <= k)
+            .select(query_id, "rank", id_col, F.col("adc").alias("cosine"))
+        )
+    qv = corpus.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {query_id: qids, "__qv": [[float(x) for x in row] for row in Q]}
         ),
         schema=T.StructType(
             [

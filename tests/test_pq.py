@@ -145,3 +145,37 @@ def test_pq_topk_recall_on_clusters_and_rerank_exactness(spark):
     assert (adc_only["cosine"] <= 1.01).all()
     with pytest.raises(ValueError, match="empty"):
         pq_topk(corpus, queries.where("id < 0"), "id", "vec")
+
+
+def test_ivfpq_topk_recall_and_shape(spark):
+    from tdigest_spark.operators.pq import ivfpq_topk
+
+    rows = _clustered(n_clusters=10, per=25, dim=32, seed=4)
+    corpus = _corpus_df(spark, rows)
+    queries = _corpus_df(spark, rows[::25][:6])
+    exact = cosine_topk(corpus, queries, "id", "vec", k=5).toPandas()
+    # exhaustive probe + generous re-rank: near-exact
+    approx = ivfpq_topk(
+        corpus, queries, "id", "vec",
+        k=5, nlist=8, nprobe=8, m=8, ksub=32, rerank=40, seed=5,
+    ).toPandas()
+    assert (approx.groupby("query_id").size() == 5).all()
+    hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["id"])
+        a = set(approx[approx.query_id == qid]["id"])
+        hits += len(e & a)
+    assert hits / (5 * 6) >= 0.9
+    # pruned probe (nprobe=2/8) on well-separated clusters: the true
+    # cluster is the nearest cell, so in-cluster neighbors survive
+    pruned = ivfpq_topk(
+        corpus, queries, "id", "vec",
+        k=5, nlist=8, nprobe=2, m=8, ksub=32, rerank=40, seed=5,
+    ).toPandas()
+    assert (pruned.groupby("query_id").size() == 5).all()
+    merged = pruned.merge(exact, on=["query_id", "id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        ivfpq_topk(corpus, queries.where("id < 0"), "id", "vec")
