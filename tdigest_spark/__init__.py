@@ -158,6 +158,8 @@ _EXPORTS = {
     "with_pq_code": ("tdigest_spark.operators.pq", "with_pq_code"),
     "pq_topk": ("tdigest_spark.operators.pq", "pq_topk"),
     "ivfpq_topk": ("tdigest_spark.operators.pq", "ivfpq_topk"),
+    "bm25_scores": ("tdigest_spark.operators.bm25", "bm25_scores"),
+    "bm25_topk": ("tdigest_spark.operators.bm25", "bm25_topk"),
     # streaming
     "stateful_digest_stream": (
         "tdigest_spark.streaming.digest_stream",
