@@ -475,10 +475,13 @@ def run_scaling(
     _td_agg(j_lo, "v", by=["g"], delta=200, build_engine="sql").count()
     jvm_rounds = []
     jvm_best = {"efficiency": -1.0}
-    for rnd in range(3):
+    # light (per-round driver) config: bound the leg's worst case the
+    # same way the kernel capture is bounded — fewer rounds/trials
+    n_jvm_rounds, n_jvm_trials = (3, 4) if trials > 3 else (2, 3)
+    for rnd in range(n_jvm_rounds):
         _wait_for_quiet(max_wait=0 if rnd == 0 else 90)
         jt_lo, jt_hi = [], []
-        for _ in range(4):
+        for _ in range(n_jvm_trials):
             t0 = time.perf_counter()
             _td_agg(j_lo, "v", by=["g"], delta=200, build_engine="sql").count()
             jt_lo.append(time.perf_counter() - t0)
