@@ -179,3 +179,27 @@ def test_ivfpq_topk_recall_and_shape(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         ivfpq_topk(corpus, queries.where("id < 0"), "id", "vec")
+
+
+def test_pq_topk_plan_shape(spark):
+    """The candidate path's only Exchanges are for the tiny candidate
+    rows (windows/joins over O(queries x R)) — the corpus-side encode +
+    ADC scan is narrow (no Exchange below the first mapInPandas)."""
+    rows = _clustered(n_clusters=5, per=20, dim=16, seed=2)
+    corpus = _corpus_df(spark, rows)
+    queries = _corpus_df(spark, rows[:3])
+    out = pq_topk(corpus, queries, "id", "vec", k=3, m=4, ksub=16, rerank=10, seed=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every SHUFFLE partitions by the query id (candidate windows) —
+    # the corpus/code side never shuffles, and the re-rank joins are
+    # broadcast, so corpus rows cross no Exchange anywhere
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    ]
+    assert shuffles and all("query_id" in line for line in shuffles), plan
+    assert len(shuffles) <= 2, plan  # ADC shortlist + final top-k
+    assert plan.count("BroadcastHashJoin") == 2, plan  # re-rank joins
+    # encode + ADC scan are back-to-back over the scan, pipelined
+    assert plan.count("MapInPandas") == 2, plan
