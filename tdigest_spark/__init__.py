@@ -160,6 +160,7 @@ _EXPORTS = {
     "ivfpq_topk": ("tdigest_spark.operators.pq", "ivfpq_topk"),
     "bm25_scores": ("tdigest_spark.operators.bm25", "bm25_scores"),
     "bm25_topk": ("tdigest_spark.operators.bm25", "bm25_topk"),
+    "bm25_topk_multi": ("tdigest_spark.operators.bm25", "bm25_topk_multi"),
     "rrf_fuse": ("tdigest_spark.operators.retrieval", "rrf_fuse"),
     # streaming
     "stateful_digest_stream": (

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "bm25_topk_multi"]
 
 
 def _tokens_expr(text_col, lowercase: bool):
@@ -126,4 +126,94 @@ def bm25_topk(
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "score"
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id: str,
+    query_text: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query for a QUERY TABLE — the
+    decontamination / batch-retrieval form (one corpus pass for all
+    queries, vs calling :func:`bm25_topk` per query).
+
+    Scale shape: the (query, term) table is distinct query terms —
+    broadcast-small by the same contract as the similarity stack's
+    query sets; the corpus tokenizes ONCE and the broadcast semi-join
+    keeps only tokens matching ANY query's terms before the (doc,
+    term) groupBy, so the one real shuffle carries hits for the union
+    of query vocabularies. df/idf are corpus-wide per term (computed
+    once, shared by every query using the term), then per-(query, doc)
+    scores aggregate and a per-query WindowGroupLimit takes top-k.
+    Output: (query_id, rank, id, score)."""
+    if k < 1:
+        raise ValueError(f"bm25_topk_multi: k must be >= 1, got {k}")
+    qt = F.col(query_text)
+    if lowercase:
+        qt = F.lower(qt)
+    q_terms = queries.select(
+        F.col(query_id),
+        F.explode(F.array_distinct(F.filter(F.split(qt, " "), lambda x: x != ""))).alias(
+            "term"
+        ),
+    )
+    toks = _tokens_expr(text_col, lowercase)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    vocab = q_terms.select("term").distinct()
+    # tf per (doc, term) for terms in ANY query — ONE corpus shuffle
+    hits = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_scores = (
+        hits.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__ts"),
+        )
+    )
+    per_query = (
+        term_scores.join(F.broadcast(q_terms), "term")
+        .groupBy(query_id, id_col)
+        .agg(F.sum("__ts").alias("score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "score")
     )

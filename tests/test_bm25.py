@@ -97,3 +97,54 @@ def test_bm25_validation(spark, docs):
         bm25_scores(docs, "doc_id", "text", [])
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(docs, "doc_id", "text", "data", k=0)
+
+
+def test_bm25_topk_multi_matches_single_query_form(spark, docs):
+    """The batch form == per-query bm25_topk for every query (same
+    formula, one corpus pass)."""
+    import pandas as pd
+
+    from tdigest_spark.operators.bm25 import bm25_topk_multi
+
+    qs = ["data quality", "the pipeline", "model training data"]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": range(len(qs)), "qtext": qs})
+    )
+    multi = bm25_topk_multi(
+        docs, "doc_id", "text", qdf, "qid", "qtext", k=8
+    ).toPandas()
+    assert (multi.groupby("qid").size() == 8).all()
+    for qid, q in enumerate(qs):
+        single = bm25_topk(docs, "doc_id", "text", q, k=8).toPandas()
+        m = multi[multi.qid == qid].sort_values("rank")
+        assert list(m["doc_id"]) == list(single["doc_id"]), q
+        assert np.allclose(m["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9)
+
+
+def test_bm25_topk_multi_single_corpus_shuffle_of_tokens(spark, docs):
+    """One (doc, term) aggregate for ALL queries: the corpus token
+    fan-out feeds exactly one hashpartitioning Exchange keyed on the
+    doc id (tf); everything query-side is broadcast."""
+    import pandas as pd
+
+    from tdigest_spark.operators.bm25 import bm25_topk_multi
+
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": [0, 1], "qtext": ["data quality", "the pipeline"]})
+    )
+    plan = (
+        bm25_topk_multi(docs, "doc_id", "text", qdf, "qid", "qtext", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    doc_shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "Reused" not in line
+        and "doc_id" in line
+        and "qid" not in line
+    ]
+    # tf aggregate (+ AQE may keep the df/term agg separate): the corpus
+    # token stream crosses at most these; never one per query
+    assert 1 <= len(doc_shuffles) <= 2, plan
