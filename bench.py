@@ -307,7 +307,7 @@ def main() -> None:
         # when everything else is slow) — 2 kernel rounds max here, the
         # full 3 in --scaling
         out["scaling"] = run_scaling(
-            trials=3, kernel_iters=40, kernel_trials=4, kernel_rounds=2
+            trials=3, kernel_iters=40, kernel_trials=4, kernel_rounds=3
         )
 
     print(json.dumps(out))
