@@ -158,6 +158,8 @@ _EXPORTS = {
     "with_pq_code": ("tdigest_spark.operators.pq", "with_pq_code"),
     "pq_topk": ("tdigest_spark.operators.pq", "pq_topk"),
     "ivfpq_topk": ("tdigest_spark.operators.pq", "ivfpq_topk"),
+    "build_ivfpq_index": ("tdigest_spark.operators.pq", "build_ivfpq_index"),
+    "ivfpq_topk_indexed": ("tdigest_spark.operators.pq", "ivfpq_topk_indexed"),
     "bm25_scores": ("tdigest_spark.operators.bm25", "bm25_scores"),
     "bm25_topk": ("tdigest_spark.operators.bm25", "bm25_topk"),
     "bm25_topk_multi": ("tdigest_spark.operators.bm25", "bm25_topk_multi"),

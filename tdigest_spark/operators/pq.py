@@ -53,6 +53,8 @@ __all__ = [
     "pq_reconstruct",
     "pq_topk",
     "ivfpq_topk",
+    "build_ivfpq_index",
+    "ivfpq_topk_indexed",
 ]
 
 
@@ -440,6 +442,209 @@ def ivfpq_topk(
             id_col,
             cosine_expr(
                 F.col(vec_col), F.col("__qv"), F.col("__norm"), F.lit(1.0)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 7,
+) -> str:
+    """Build-once persisted IVF-PQ index: ``(id, pq_code, vec, norm)``
+    written as a ``cell``-PARTITIONED table with the coarse centroids
+    and PQ codebooks in underscore sidecars (skipped by table
+    readers). Searches prune to probe cells AT SCAN TIME (partition
+    pruning) and ADC-score the m-byte codes; the full vectors live in
+    the SAME partitioned table so the exact re-rank's candidate
+    lookups stay inside the probed shards. Train is driver-side
+    bounded-sample (O(1) in table size); assignment + encoding are one
+    distributed Arrow pass. Returns the format written
+    (``sources.catalog``)."""
+    import json
+    import os
+
+    from tdigest_spark.operators.similarity import (
+        train_ivf_centroids,
+        with_ivf_cell,
+        with_norm,
+    )
+    from tdigest_spark.sources.catalog import write_table
+
+    C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
+    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    cells = with_ivf_cell(
+        with_norm(corpus.select(id_col, vec_col), vec_col), vec_col, C, nprobe=1
+    )
+    enc = with_pq_code(cells, vec_col, books).select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("norm"),
+        F.col("cell")[0].alias("cell"),
+        "pq_code",
+    )
+    fmt = write_table(enc, index_dir, partition_by=("cell",))
+    with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    with open(os.path.join(index_dir, "_pq_codebooks.json"), "w") as f:
+        json.dump(books.tolist(), f)
+    return fmt
+
+
+def _load_pq_codebooks(index_dir: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_pq_codebooks.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+    query_id: str = "query_id",
+    fmt: str | None = None,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (:func:`build_ivfpq_index`):
+    probe cells become a literal IN partition filter (unprobed shards
+    never read), the ADC scan projects only ``(id, cell, pq_code)``
+    (column pruning keeps the full vectors out of the hot scan), and
+    the exact re-rank re-reads ONLY the probed partitions joined to
+    the broadcast candidate ids. Queries are driver-side assigned
+    (broadcast-small by the same contract as ``ivf_topk_indexed``).
+    Output: (query_id, rank, id, cosine)."""
+    from tdigest_spark.operators.similarity import _load_ivf_centroids, cosine_expr
+    from tdigest_spark.sources.catalog import read_table
+
+    C = _load_ivf_centroids(index_dir)
+    books = _load_pq_codebooks(index_dir)
+    mm, _, dsub = books.shape
+    nprobe = min(nprobe, C.shape[0])
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    if len(qp) == 0:
+        raise ValueError("ivfpq_topk_indexed: empty query set")
+    qids = qp[id_col].to_numpy()
+    Q = _unit_rows(np.vstack(qp[vec_col].to_numpy()).astype(np.float64))
+    sims = Q @ C.T
+    top = np.argsort(-sims, axis=1)[:, :nprobe]
+    luts = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(mm)], axis=1
+    )
+    probe_cells = sorted({int(c) for r in top for c in r})
+    q_cells = {i: {int(c) for c in top[i]} for i in range(len(qids))}
+    R = max(k, rerank if rerank > 0 else k)
+
+    idx = read_table(spark, index_dir, fmt=fmt).where(
+        F.col("cell").isin(probe_cells)  # literal IN -> partition pruning
+    )
+    qid_dtype = queries.schema[id_col].dataType
+    id_dtype = idx.schema[id_col].dataType
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_dtype),
+            T.StructField(id_col, id_dtype),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"].to_list()), dtype=np.uint8
+            ).reshape(n, mm)
+            batch_cells = pdf["cell"].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(batch_cells, list(q_cells[qi]))
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                scores = np.zeros(len(sub), dtype=np.float64)
+                for j in range(mm):
+                    scores += luts[qi, j, :][sub[:, j]]
+                r = min(R, len(sub))
+                sel = (
+                    np.argpartition(-scores, r - 1)[:r]
+                    if len(sub) > r
+                    else np.arange(len(sub))
+                )
+                ids_m = pdf[id_col].to_numpy()[mask]
+                out_q.append(np.repeat(qids[qi], len(sel)))
+                out_i.append(ids_m[sel])
+                out_s.append(scores[sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cands = (
+        idx.select(id_col, "cell", "pq_code")  # hot scan: codes only
+        .mapInPandas(scan, cand_schema)
+        .where(F.col(id_col) != F.col(query_id))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cands.withColumn("__r", F.row_number().over(w_adc))
+        .where(F.col("__r") <= R)
+        .drop("__r")
+    )
+    if rerank <= 0:
+        return (
+            short.withColumn("rank", F.row_number().over(w_adc))
+            .where(F.col("rank") <= k)
+            .select(query_id, "rank", id_col, F.col("adc").alias("cosine"))
+        )
+    qv = spark.createDataFrame(
+        pd.DataFrame(
+            {query_id: qids, "__qv": [[float(x) for x in row] for row in Q]}
+        ),
+        schema=T.StructType(
+            [
+                T.StructField(query_id, qid_dtype),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    scored = (
+        idx.select(id_col, "vec", "norm")  # probed partitions only
+        .join(F.broadcast(short.select(query_id, id_col)), id_col)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id,
+            id_col,
+            cosine_expr(
+                F.col("vec"), F.col("__qv"), F.col("norm"), F.lit(1.0)
             ).alias("cosine"),
         )
     )

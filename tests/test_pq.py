@@ -203,3 +203,53 @@ def test_pq_topk_plan_shape(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan  # re-rank joins
     # encode + ADC scan are back-to-back over the scan, pipelined
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_ivfpq_index_persist_prune_exhaustive_and_rerank(spark, tmp_path):
+    from tdigest_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+
+    rows = _clustered(n_clusters=8, per=25, dim=32, seed=4)
+    corpus = _corpus_df(spark, rows)
+    queries = _corpus_df(spark, rows[::25][:5])
+    idx_dir = str(tmp_path / "ivfpq_idx")
+    fmt = build_ivfpq_index(corpus, "id", "vec", idx_dir, nlist=8, m=8, ksub=32, seed=5)
+    import os
+
+    assert os.path.exists(os.path.join(idx_dir, "_centroids.json"))
+    assert os.path.exists(os.path.join(idx_dir, "_pq_codebooks.json"))
+    exact = cosine_topk(corpus, queries, "id", "vec", k=5).toPandas()
+    # exhaustive probe + generous re-rank: high recall, exact cosines
+    full = ivfpq_topk_indexed(
+        spark, idx_dir, queries, "id", "vec", k=5, nprobe=8, rerank=40, fmt=fmt
+    ).toPandas()
+    assert (full.groupby("query_id").size() == 5).all()
+    hits = sum(
+        len(set(exact[exact.query_id == q]["id"]) & set(full[full.query_id == q]["id"]))
+        for q in exact["query_id"].unique()
+    )
+    assert hits / (5 * 5) >= 0.9
+    merged = full.merge(exact, on=["query_id", "id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+    # pruned probe: the scan carries a partition filter on cell
+    pruned_df = ivfpq_topk_indexed(
+        spark, idx_dir, queries, "id", "vec", k=5, nprobe=2, rerank=40, fmt=fmt
+    )
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    pruned = pruned_df.toPandas()
+    assert (pruned.groupby("query_id").size() == 5).all()
+    # indexed pruned results == the in-memory composition at the same params
+    from tdigest_spark.operators.pq import ivfpq_topk
+
+    mem = ivfpq_topk(
+        corpus, queries, "id", "vec",
+        k=5, nlist=8, nprobe=2, m=8, ksub=32, rerank=40, seed=5,
+    ).toPandas()
+    got = pruned.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got["id"]) == list(want["id"])
+    assert np.allclose(got["cosine"], want["cosine"], atol=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        ivfpq_topk_indexed(spark, idx_dir, queries.where("id < 0"), "id", "vec")
