@@ -55,6 +55,7 @@ __all__ = [
     "ivfpq_topk",
     "build_ivfpq_index",
     "ivfpq_topk_indexed",
+    "append_ivfpq_index",
 ]
 
 
@@ -656,3 +657,38 @@ def ivfpq_topk_indexed(
         .where(F.col("rank") <= k)
         .select(query_id, "rank", id_col, "cosine")
     )
+
+
+def append_ivfpq_index(
+    new_rows: DataFrame, id_col: str, vec_col: str, index_dir: str
+) -> None:
+    """Append rows to a persisted IVF-PQ index WITHOUT retraining:
+    new vectors are assigned to the EXISTING coarse cells and encoded
+    with the EXISTING codebooks (both sidecars read, not refit), then
+    appended into the cell-partitioned table — only touched cell
+    partitions gain files, and searches see the new rows through the
+    same PartitionFilters-pruned scan. Codebook drift as the corpus
+    grows is monitored the same way as the coarse quantizer's
+    (``ivf_retrain_needed`` over ``ivf_cell_stats`` works unchanged on
+    this table); rebuild via :func:`build_ivfpq_index` into a fresh
+    directory and pointer-swap, as with ``refresh_ivf_index``."""
+    from tdigest_spark.operators.similarity import (
+        _load_ivf_centroids,
+        with_ivf_cell,
+        with_norm,
+    )
+    from tdigest_spark.sources.catalog import write_table
+
+    C = _load_ivf_centroids(index_dir)
+    books = _load_pq_codebooks(index_dir)
+    cells = with_ivf_cell(
+        with_norm(new_rows.select(id_col, vec_col), vec_col), vec_col, C, nprobe=1
+    )
+    enc = with_pq_code(cells, vec_col, books).select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("norm"),
+        F.col("cell")[0].alias("cell"),
+        "pq_code",
+    )
+    write_table(enc, index_dir, mode="append", partition_by=("cell",))

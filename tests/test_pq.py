@@ -253,3 +253,41 @@ def test_ivfpq_index_persist_prune_exhaustive_and_rerank(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="empty"):
         ivfpq_topk_indexed(spark, idx_dir, queries.where("id < 0"), "id", "vec")
+
+
+def test_ivfpq_index_append_found_and_codes_stable(spark, tmp_path):
+    """Appended vectors are searchable through the pruned scan; their
+    codes come from the ORIGINAL sidecars (no refit on append)."""
+    from tdigest_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        pq_encode,
+    )
+    from tdigest_spark.operators.pq import _load_pq_codebooks
+
+    rows = _clustered(n_clusters=6, per=20, dim=16, seed=7)
+    corpus = _corpus_df(spark, rows[:100])
+    idx_dir = str(tmp_path / "ivfpq_append")
+    build_ivfpq_index(corpus, "id", "vec", idx_dir, nlist=4, m=4, ksub=16, seed=5)
+    books_before = _load_pq_codebooks(idx_dir)
+    extra = _corpus_df(spark, rows[100:])
+    append_ivfpq_index(extra, "id", "vec", idx_dir)
+    assert np.array_equal(_load_pq_codebooks(idx_dir), books_before)
+    # query WITH an appended vector: its exact self-cell neighbors
+    # (appended + original) are retrievable
+    q = _corpus_df(spark, rows[100:101])
+    got = ivfpq_topk_indexed(
+        spark, idx_dir, q, "id", "vec", k=5, nprobe=4, rerank=20
+    ).toPandas()
+    assert len(got) == 5
+    all_rows = _corpus_df(spark, rows)
+    exact = cosine_topk(all_rows, q, "id", "vec", k=5).toPandas()
+    assert set(got["id"]) == set(exact["id"])  # exhaustive probe == brute force
+    # appended rows' stored codes == encoding under the original books
+    idx = spark.read.parquet(idx_dir)
+    stored = {r["id"]: bytes(r["pq_code"]) for r in idx.collect()}
+    X = np.array([r[1] for r in rows[100:]])
+    want = pq_encode(X, books_before)
+    for i, (rid, _) in enumerate(rows[100:]):
+        assert stored[rid] == want[i].tobytes()
