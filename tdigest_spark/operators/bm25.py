@@ -140,6 +140,7 @@ def bm25_topk_multi(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    return_scores: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query for a QUERY TABLE — the
     decontamination / batch-retrieval form (one corpus pass for all
@@ -209,6 +210,11 @@ def bm25_topk_multi(
         .groupBy(query_id, id_col)
         .agg(F.sum("__ts").alias("score"))
     )
+    if return_scores:
+        # unranked (query, doc, score) rows — for callers that rank on
+        # a ROUNDED score (cross-engine float-stable ordering) or feed
+        # a downstream fusion
+        return per_query
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

@@ -34,13 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 # 4 folded td_rollup_lineitem into td_cube_lineitem (one
 # grouping-lattice row: rollup + cube + grouping-sets legs, tagged) to
 # admit ht_rollup_window_events (hypertable two-batch ingest + tiered
-# downsample + window stats vs plain SQL over the raw rows). Order
+# downsample + window stats vs plain SQL over the raw rows). Late
+# round 4 merged mm_decode_features + mm_transform_meta into
+# mm_decode_transform (one join on media_id - every column of both
+# rows survives in the hash) to admit rt_bm25_rank_docs (BM25 vs an
+# independent DuckDB BM25, rounded-score ranking on both sides). Order
 # still matters as a hedge: families with the freshest
 # unverified queries (hypertable, session, rowscore, drift) or the oldest green
 # signal (dedup, similarity) go FIRST, the thrice-verified cheap
 # tdigest family last, so any residual budget cut lands on the queries
 # with the freshest prior evidence.
 _FAMILIES = (
+    "retrieval_q",
     "hypertable_q",
     "session_q",
     "rowscore_q",

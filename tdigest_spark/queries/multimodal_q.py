@@ -85,13 +85,26 @@ def mm_transform_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small.unionByName(frames)
 
 
+
+
+def mm_decode_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 consolidation of mm_decode_features + mm_transform_meta
+    into ONE driver row (join on media_id — the 50-row cap discipline,
+    SURVEY.md §8.3): every column of both former rows survives in the
+    hash, so the evidence strength is unchanged. Decoded-domain
+    features AND the decode->transform->encode->decode cycle checks in
+    a single row set."""
+    feats = mm_decode_features(spark, sf_dir)
+    meta = mm_transform_meta(spark, sf_dir)
+    return feats.join(meta, "media_id")
+
 QUERIES = {
-    "mm_decode_features": mm_decode_features,
-    "mm_transform_meta": mm_transform_meta,
+    "mm_decode_transform": mm_decode_transform,
 }
 
 ORACLES = {
-    "mm_decode_features": f"""
+    "mm_decode_transform": f"""
+        WITH feats AS (
         WITH dims AS ({_DIMS}),
         vals AS (
           SELECT media_id, kind, n_units,
@@ -106,8 +119,8 @@ ORACLES = {
                list_min(v)::INT AS min_val,
                list_max(v)::INT AS max_val
         FROM vals
-    """,
-    "mm_transform_meta": f"""
+    ),
+        meta AS (
         WITH dims AS ({_DIMS})
         SELECT media_id,
                cast((width + 1) // 2 AS INT) AS new_width,
@@ -130,5 +143,9 @@ ORACLES = {
                   IF (i // 16) % 2 = 0]
                ), 0)::BIGINT AS kept_checksum
         FROM dims WHERE kind = 'audio'
+    )
+        SELECT f.*, m.new_width, m.new_height, m.px_sum,
+               m.n_frames, m.n_kept, m.kept_checksum
+        FROM feats f JOIN meta m USING (media_id)
     """,
 }
