@@ -161,6 +161,7 @@ _EXPORTS = {
     "build_ivfpq_index": ("tdigest_spark.operators.pq", "build_ivfpq_index"),
     "ivfpq_topk_indexed": ("tdigest_spark.operators.pq", "ivfpq_topk_indexed"),
     "append_ivfpq_index": ("tdigest_spark.operators.pq", "append_ivfpq_index"),
+    "refresh_ivfpq_index": ("tdigest_spark.operators.pq", "refresh_ivfpq_index"),
     "bm25_scores": ("tdigest_spark.operators.bm25", "bm25_scores"),
     "bm25_topk": ("tdigest_spark.operators.bm25", "bm25_topk"),
     "bm25_topk_multi": ("tdigest_spark.operators.bm25", "bm25_topk_multi"),

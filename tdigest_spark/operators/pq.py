@@ -56,6 +56,7 @@ __all__ = [
     "build_ivfpq_index",
     "ivfpq_topk_indexed",
     "append_ivfpq_index",
+    "refresh_ivfpq_index",
 ]
 
 
@@ -692,3 +693,39 @@ def append_ivfpq_index(
         "pq_code",
     )
     write_table(enc, index_dir, mode="append", partition_by=("cell",))
+
+
+def refresh_ivfpq_index(
+    spark,
+    index_dir: str,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    nlist: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    seed: int = 7,
+    fmt: str | None = None,
+) -> str:
+    """Rebuild (retrain) a drifted IVF-PQ index from its CURRENT
+    contents into ``out_dir``: re-trains the coarse quantizer AND the
+    PQ codebooks on the live corpus and re-encodes every row. Writes
+    to a NEW directory — swap the pointer after the build so
+    concurrent readers never see a half-written index (the same
+    atomic-snapshot discipline as ``refresh_ivf_index`` and the
+    streaming sinks). Geometry defaults to the existing sidecars'."""
+    from tdigest_spark.operators.similarity import _load_ivf_centroids
+    from tdigest_spark.sources.catalog import read_table
+
+    idx = read_table(spark, index_dir, fmt=fmt)
+    corpus = idx.select(F.col(id_col), F.col("vec").alias(vec_col))
+    if nlist is None:
+        nlist = _load_ivf_centroids(index_dir).shape[0]
+    books = _load_pq_codebooks(index_dir)
+    if m is None:
+        m = books.shape[0]
+    if ksub is None:
+        ksub = books.shape[1]
+    return build_ivfpq_index(
+        corpus, id_col, vec_col, out_dir, nlist=nlist, m=m, ksub=ksub, seed=seed
+    )

@@ -291,3 +291,28 @@ def test_ivfpq_index_append_found_and_codes_stable(spark, tmp_path):
     want = pq_encode(X, books_before)
     for i, (rid, _) in enumerate(rows[100:]):
         assert stored[rid] == want[i].tobytes()
+
+
+def test_ivfpq_index_refresh_rebuilds_from_live_contents(spark, tmp_path):
+    from tdigest_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        refresh_ivfpq_index,
+    )
+
+    rows = _clustered(n_clusters=6, per=20, dim=16, seed=7)
+    corpus = _corpus_df(spark, rows[:80])
+    d1 = str(tmp_path / "v1")
+    build_ivfpq_index(corpus, "id", "vec", d1, nlist=4, m=4, ksub=16, seed=5)
+    append_ivfpq_index(_corpus_df(spark, rows[80:]), "id", "vec", d1)
+    d2 = str(tmp_path / "v2")
+    fmt = refresh_ivfpq_index(spark, d1, d2, "id", "vec", seed=5)
+    # every row survives the rebuild; geometry carried from sidecars
+    assert spark.read.parquet(d2).count() == len(rows)
+    q = _corpus_df(spark, rows[:1])
+    exact = cosine_topk(_corpus_df(spark, rows), q, "id", "vec", k=5).toPandas()
+    got = ivfpq_topk_indexed(
+        spark, d2, q, "id", "vec", k=5, nprobe=4, rerank=20, fmt=fmt
+    ).toPandas()
+    assert set(got["id"]) == set(exact["id"])
