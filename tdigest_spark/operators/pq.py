@@ -86,10 +86,20 @@ def train_pq_codebooks(
     if len(pdf) == 0:
         raise ValueError("train_pq_codebooks: corpus is empty")
     X = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
-    dim = X.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
-    dsub = dim // m
+    if X.shape[1] % m != 0:
+        raise ValueError(
+            f"train_pq_codebooks: dim {X.shape[1]} not divisible by m={m}"
+        )
+    return _kmeans_books(X, m, ksub, seed, iters)
+
+
+def _kmeans_books(
+    X: np.ndarray, m: int, ksub: int, seed: int, iters: int
+) -> np.ndarray:
+    """Seeded per-subspace Lloyd iterations over an in-memory sample —
+    the training core shared by the plain (unit-vector) and residual
+    paths."""
+    dsub = X.shape[1] // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
@@ -113,11 +123,17 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
-    """Encode unit-normalized rows -> (n, m) uint8 codes (numpy core,
-    shared by the Spark pass and tests)."""
+def pq_encode(
+    X: np.ndarray, codebooks: np.ndarray, normalize: bool = True
+) -> np.ndarray:
+    """Encode rows -> (n, m) uint8 codes (numpy core, shared by the
+    Spark pass and tests). ``normalize=False`` is the residual-vector
+    form (residuals must NOT be re-normalized — their magnitude IS the
+    signal the codebook quantizes)."""
     m, ksub, dsub = codebooks.shape
-    X = _unit_rows(np.asarray(X, dtype=np.float64))
+    X = np.asarray(X, dtype=np.float64)
+    if normalize:
+        X = _unit_rows(X)
     codes = np.empty((len(X), m), dtype=np.uint8)
     for j in range(m):
         Xs = X[:, j * dsub : (j + 1) * dsub]
@@ -466,6 +482,7 @@ def build_ivfpq_index(
     m: int = 8,
     ksub: int = 256,
     seed: int = 7,
+    residual: bool = False,
 ) -> str:
     """Build-once persisted IVF-PQ index: ``(id, pq_code, vec, norm)``
     written as a ``cell``-PARTITIONED table with the coarse centroids
@@ -476,35 +493,83 @@ def build_ivfpq_index(
     lookups stay inside the probed shards. Train is driver-side
     bounded-sample (O(1) in table size); assignment + encoding are one
     distributed Arrow pass. Returns the format written
-    (``sources.catalog``)."""
+    (``sources.catalog``).
+
+    ``residual=True`` encodes ``x − centroid[cell]`` instead of ``x``
+    (FAISS-style IVFPQ, Jégou et al. 2011 §IV): residuals have far
+    less variance than the vectors themselves, so the same m bytes
+    quantize finer — the search adds ``q·centroid[cell]`` back as a
+    per-cell constant in ADC. The flag is recorded in a
+    ``_pq_meta.json`` sidecar and honored by search/append/refresh."""
     import json
     import os
 
-    from tdigest_spark.operators.similarity import (
-        train_ivf_centroids,
-        with_ivf_cell,
-        with_norm,
-    )
+    from tdigest_spark.operators.similarity import train_ivf_centroids
     from tdigest_spark.sources.catalog import write_table
 
     C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
-    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
-    cells = with_ivf_cell(
-        with_norm(corpus.select(id_col, vec_col), vec_col), vec_col, C, nprobe=1
-    )
-    enc = with_pq_code(cells, vec_col, books).select(
-        F.col(id_col),
-        F.col(vec_col).alias("vec"),
-        F.col("__norm").alias("norm"),
-        F.col("cell")[0].alias("cell"),
-        "pq_code",
-    )
+    if residual:
+        pdf = corpus.select(vec_col).limit(8192).toPandas()
+        X = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
+        if X.shape[1] % m != 0:
+            raise ValueError(
+                f"build_ivfpq_index: dim {X.shape[1]} not divisible by m={m}"
+            )
+        res = X - C[np.argmax(X @ C.T, axis=1)]
+        books = _kmeans_books(res, m, ksub, seed, 12)
+    else:
+        books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    enc = _encode_index_rows(corpus, id_col, vec_col, C, books, residual)
     fmt = write_table(enc, index_dir, partition_by=("cell",))
     with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
         json.dump(C.tolist(), f)
     with open(os.path.join(index_dir, "_pq_codebooks.json"), "w") as f:
         json.dump(books.tolist(), f)
+    with open(os.path.join(index_dir, "_pq_meta.json"), "w") as f:
+        json.dump({"residual": residual}, f)
     return fmt
+
+
+def _encode_index_rows(
+    rows: DataFrame,
+    id_col: str,
+    vec_col: str,
+    C: np.ndarray,
+    books: np.ndarray,
+    residual: bool,
+) -> DataFrame:
+    """(id, vec, norm, cell, pq_code) index rows — assignment and
+    encoding in ONE Arrow pass (plain: codes of the unit vector;
+    residual: codes of unit vector − its cell centroid)."""
+    from tdigest_spark.operators.similarity import with_ivf_cell, with_norm
+
+    cells = with_ivf_cell(
+        with_norm(rows.select(id_col, vec_col), vec_col), vec_col, C, nprobe=1
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("norm"),
+        F.col("cell")[0].alias("cell"),
+    )
+    Cc = np.ascontiguousarray(C, dtype=np.float64)
+    B = np.ascontiguousarray(books, dtype=np.float64)
+    out_schema = T.StructType(
+        list(cells.schema.fields) + [T.StructField("pq_code", T.BinaryType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _unit_rows(np.vstack(pdf["vec"].to_numpy()).astype(np.float64))
+            if residual:
+                X = X - Cc[pdf["cell"].to_numpy()]
+            codes = pq_encode(X, B, normalize=False)
+            out = pdf.copy()
+            out["pq_code"] = [c.tobytes() for c in codes]
+            yield out
+
+    return cells.mapInPandas(encode, out_schema)
 
 
 def _load_pq_codebooks(index_dir: str) -> np.ndarray:
@@ -513,6 +578,17 @@ def _load_pq_codebooks(index_dir: str) -> np.ndarray:
 
     with open(os.path.join(index_dir, "_pq_codebooks.json")) as f:
         return np.asarray(json.load(f), dtype=np.float64)
+
+
+def _load_pq_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, "_pq_meta.json")
+    if not os.path.exists(path):  # pre-residual indexes: plain encoding
+        return {"residual": False}
+    with open(path) as f:
+        return json.load(f)
 
 
 def ivfpq_topk_indexed(
@@ -540,6 +616,7 @@ def ivfpq_topk_indexed(
 
     C = _load_ivf_centroids(index_dir)
     books = _load_pq_codebooks(index_dir)
+    residual = bool(_load_pq_meta(index_dir)["residual"])
     mm, _, dsub = books.shape
     nprobe = min(nprobe, C.shape[0])
 
@@ -585,7 +662,13 @@ def ivfpq_topk_indexed(
                 if not mask.any():
                     continue
                 sub = codes[mask]
-                scores = np.zeros(len(sub), dtype=np.float64)
+                # residual indexes: cosine ≈ q·centroid[cell] (exact,
+                # per-row constant) + q·residual-reconstruction (ADC)
+                scores = (
+                    sims[qi][batch_cells[mask]].astype(np.float64).copy()
+                    if residual
+                    else np.zeros(len(sub), dtype=np.float64)
+                )
                 for j in range(mm):
                     scores += luts[qi, j, :][sub[:, j]]
                 r = min(R, len(sub))
@@ -673,25 +756,13 @@ def append_ivfpq_index(
     (``ivf_retrain_needed`` over ``ivf_cell_stats`` works unchanged on
     this table); rebuild via :func:`build_ivfpq_index` into a fresh
     directory and pointer-swap, as with ``refresh_ivf_index``."""
-    from tdigest_spark.operators.similarity import (
-        _load_ivf_centroids,
-        with_ivf_cell,
-        with_norm,
-    )
+    from tdigest_spark.operators.similarity import _load_ivf_centroids
     from tdigest_spark.sources.catalog import write_table
 
     C = _load_ivf_centroids(index_dir)
     books = _load_pq_codebooks(index_dir)
-    cells = with_ivf_cell(
-        with_norm(new_rows.select(id_col, vec_col), vec_col), vec_col, C, nprobe=1
-    )
-    enc = with_pq_code(cells, vec_col, books).select(
-        F.col(id_col),
-        F.col(vec_col).alias("vec"),
-        F.col("__norm").alias("norm"),
-        F.col("cell")[0].alias("cell"),
-        "pq_code",
-    )
+    residual = bool(_load_pq_meta(index_dir)["residual"])
+    enc = _encode_index_rows(new_rows, id_col, vec_col, C, books, residual)
     write_table(enc, index_dir, mode="append", partition_by=("cell",))
 
 
@@ -713,7 +784,8 @@ def refresh_ivfpq_index(
     to a NEW directory — swap the pointer after the build so
     concurrent readers never see a half-written index (the same
     atomic-snapshot discipline as ``refresh_ivf_index`` and the
-    streaming sinks). Geometry defaults to the existing sidecars'."""
+    streaming sinks). Geometry AND the residual flag default to the
+    existing sidecars'."""
     from tdigest_spark.operators.similarity import _load_ivf_centroids
     from tdigest_spark.sources.catalog import read_table
 
@@ -727,5 +799,6 @@ def refresh_ivfpq_index(
     if ksub is None:
         ksub = books.shape[1]
     return build_ivfpq_index(
-        corpus, id_col, vec_col, out_dir, nlist=nlist, m=m, ksub=ksub, seed=seed
+        corpus, id_col, vec_col, out_dir, nlist=nlist, m=m, ksub=ksub, seed=seed,
+        residual=bool(_load_pq_meta(index_dir)["residual"]),
     )

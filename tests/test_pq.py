@@ -316,3 +316,69 @@ def test_ivfpq_index_refresh_rebuilds_from_live_contents(spark, tmp_path):
         spark, d2, q, "id", "vec", k=5, nprobe=4, rerank=20, fmt=fmt
     ).toPandas()
     assert set(got["id"]) == set(exact["id"])
+
+
+def test_residual_ivfpq_quantizes_finer_and_searches_exactly(spark, tmp_path):
+    """FAISS-style residual encoding: (1) residual quantization error
+    < plain at identical (m, ksub) on clustered data (residuals have
+    less variance); (2) the residual-index search with exhaustive
+    probe + re-rank still matches brute force; (3) append and refresh
+    honor the persisted residual flag."""
+    from tdigest_spark.operators.pq import (
+        _kmeans_books,
+        _load_pq_meta,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        refresh_ivfpq_index,
+    )
+    from tdigest_spark.operators.similarity import train_ivf_centroids
+
+    rows = _clustered(n_clusters=8, per=25, dim=32, seed=4)
+    corpus = _corpus_df(spark, rows)
+
+    # (1) numpy-level error comparison at identical geometry
+    X = np.array([r[1] for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = train_ivf_centroids(corpus, "vec", nlist=8, seed=5)
+    assign = np.argmax(X @ C.T, axis=1)
+    res = X - C[assign]
+    plain_books = _kmeans_books(X, 8, 16, 5, 12)
+    res_books = _kmeans_books(res, 8, 16, 5, 12)
+    plain_err = ((pq_reconstruct(pq_encode(X, plain_books, normalize=False), plain_books) - X) ** 2).mean()
+    res_recon = C[assign] + pq_reconstruct(
+        pq_encode(res, res_books, normalize=False), res_books
+    )
+    res_err = ((res_recon - X) ** 2).mean()
+    assert res_err < plain_err
+
+    # (2) end-to-end: residual index, exhaustive probe == brute force sets
+    queries = _corpus_df(spark, rows[::25][:4])
+    d = str(tmp_path / "res_idx")
+    build_ivfpq_index(
+        corpus, "id", "vec", d, nlist=8, m=8, ksub=16, seed=5, residual=True
+    )
+    assert _load_pq_meta(d)["residual"] is True
+    exact = cosine_topk(corpus, queries, "id", "vec", k=5).toPandas()
+    got = ivfpq_topk_indexed(
+        spark, d, queries, "id", "vec", k=5, nprobe=8, rerank=40
+    ).toPandas()
+    hits = sum(
+        len(set(exact[exact.query_id == q]["id"]) & set(got[got.query_id == q]["id"]))
+        for q in exact["query_id"].unique()
+    )
+    assert hits / (5 * 4) >= 0.9
+    merged = got.merge(exact, on=["query_id", "id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+
+    # (3) append + refresh keep the flag and stay searchable
+    extra_rows = [(10_000 + i, r[1]) for i, r in enumerate(rows[:10])]
+    append_ivfpq_index(_corpus_df(spark, extra_rows), "id", "vec", d)
+    d2 = str(tmp_path / "res_idx_v2")
+    refresh_ivfpq_index(spark, d, d2, "id", "vec", seed=5)
+    assert _load_pq_meta(d2)["residual"] is True
+    assert spark.read.parquet(d2).count() == len(rows) + 10
+    again = ivfpq_topk_indexed(
+        spark, d2, queries, "id", "vec", k=5, nprobe=8, rerank=40
+    ).toPandas()
+    assert (again.groupby("query_id").size() == 5).all()
