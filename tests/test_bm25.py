@@ -148,3 +148,30 @@ def test_bm25_topk_multi_single_corpus_shuffle_of_tokens(spark, docs):
     # tf aggregate (+ AQE may keep the df/term agg separate): the corpus
     # token stream crosses at most these; never one per query
     assert 1 <= len(doc_shuffles) <= 2, plan
+
+
+def test_bm25_b_zero_disables_length_normalization(spark, docs):
+    """With b=0 the per-term score is the closed form
+    idf * tf*(k1+1)/(tf+k1) — independent of document length; verify
+    directly from token counts (no oracle SQL needed)."""
+    import math
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, "doc_id", "text", ["data"], b=0.0).collect()
+    }
+    pdf = docs.toPandas()
+    toks = pdf["text"].str.lower().str.split(" ").apply(
+        lambda ts: [t for t in ts if t]
+    )
+    tf = toks.apply(lambda ts: sum(1 for t in ts if t == "data"))
+    n = len(pdf)
+    df = int((tf > 0).sum())
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    k1 = 1.2
+    for doc_id, t in zip(pdf["doc_id"], tf):
+        if t > 0:
+            want = idf * t * (k1 + 1.0) / (t + k1)
+            assert got[doc_id] == pytest.approx(want, abs=1e-9)
+        else:
+            assert doc_id not in got

@@ -94,3 +94,15 @@ def test_rrf_validation(spark):
     a = _ranked(spark, [(1, "x")])
     with pytest.raises(ValueError, match=">= 1"):
         rrf_fuse([a], "doc_id", k=0)
+
+
+def test_rrf_input_order_invariance(spark):
+    """Fusion is a sum over lists — permuting the input list order
+    changes nothing (rank provenance is per-list, not positional)."""
+    a = _ranked(spark, [(1, "x"), (2, "y")])
+    b = _ranked(spark, [(1, "y"), (2, "z")])
+    c = _ranked(spark, [(1, "z"), (2, "x")])
+    base = rrf_fuse([a, b, c], "doc_id", k=3).toPandas()
+    perm = rrf_fuse([c, a, b], "doc_id", k=3).toPandas()
+    assert list(base["doc_id"]) == list(perm["doc_id"])
+    assert np.allclose(base["rrf_score"], perm["rrf_score"], atol=1e-15)
