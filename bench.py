@@ -310,7 +310,53 @@ def main() -> None:
             trials=3, kernel_iters=40, kernel_trials=4, kernel_rounds=3
         )
 
+    # Two-tier output (round-5 fix: the round-4 single line outgrew the
+    # driver's 2000-char stdout tail window and BENCH_r04.json recorded
+    # parsed:null). The FULL diagnostic record goes to BENCH_DETAIL.json
+    # and an earlier stdout line; the LAST stdout line is a compact
+    # (<1.5 KB) summary carrying everything the round grade needs:
+    # headline metric, per-query seconds, the two scaling efficiencies,
+    # the floor-stall verdict, and the rank-error verdict.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
+    scal = out["scaling"]
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": out["sf"],
+        "noise_ref_sec": noise_ref,
+        "load_avg_1m": load_avg,
+        "rank_error": {
+            "within_bound": rank_err["within_bound"],
+            "max_abs_rank_error": rank_err["max_abs_rank_error"],
+        },
+        "scaling": {
+            "tasks_lo": scal["tasks_lo"],
+            "tasks_hi": scal["tasks_hi"],
+            "efficiency_process_parallel": scal[
+                "efficiency_process_parallel"],
+            "efficiency_e2e_jvm_sql": scal["efficiency_e2e_jvm_sql"],
+            "jvm_sql_rows": scal["jvm_sql"].get("rows"),
+            "jvm_sql_rows_per_sec_hi": scal["jvm_sql"].get(
+                "rows_per_sec_hi"),
+            "e2e_floor_stalled": scal["e2e_floor_stalled"],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1800:  # defensive: never regress past the tail window
+        summary.pop("noise_ref_sec", None)
+        summary.pop("load_avg_1m", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 SCALE_ROWS = 32_000_000
@@ -356,25 +402,23 @@ def run_scaling(
             (F.pmod(F.col("id") * 2654435761, 1000003) / 1000.0).alias("v")
         )
 
-    lo, hi = vals(lo_tasks), vals(hi_tasks)
+    hi = vals(hi_tasks)
     tdigest_agg(hi, "v", delta=200).count()  # warm JVM + workers
     ratio = hi_tasks / lo_tasks
-    # same retry discipline as the kernel capture: the hi leg needs
-    # ratio x the free cores, so a tenant-load spike deflates ONLY the
-    # measured efficiency, never inflates it — if a round lands below
-    # target, re-run the whole interleaved capture (bounded) and keep
-    # the best round, with every round's figure in the artifact.
-    # Contention windows on this host last minutes (a whole 3-round
-    # back-to-back retry block can land inside one), so each round
-    # first WAITS (bounded) for the 1-minute load average to drop
-    # below a threshold; the observed load per round is recorded.
-    # Arrow-pipe floor control: a pass-through mapInPandas (ZERO sketch
-    # work) over the same rows. Under tenant load the JVM->Python Arrow
-    # transfer on this host collapses to a task-count-INDEPENDENT
-    # throughput floor (~6 s for 32M rows measured at load>3, vs 1.2 s
-    # scaling at 0.9+ efficiency when quiet) — when sec_hi of the e2e
-    # leg ~= the floor, the e2e figure measures the host's IPC floor,
-    # not the engine; the artifact carries both so that is checkable.
+    # Arrow-pipe floor probe (host-stall detector, retained from the
+    # retired pandas e2e leg — r4 verdict #6): a pass-through
+    # mapInPandas (ZERO sketch work) over the same rows. Under tenant
+    # load the JVM->Python Arrow transfer on this host collapses to a
+    # task-count-INDEPENDENT throughput floor (~6 s for 32M rows at
+    # load>3, vs 1.2 s when quiet — BENCH.md §2's microVM paging
+    # signature). The probe's only roles now: (a) e2e_floor_stalled in
+    # the artifact marks captures taken inside a stall window, and
+    # (b) the bounded wait below keeps the timed legs out of one.
+    # The raw pandas-e2e efficiency ratio is NO LONGER published — four
+    # rounds of honest nulls showed it can only measure the host's IPC
+    # floor here; efficiency_process_parallel (per-process kernel) and
+    # efficiency_e2e_jvm_sql (all-JVM Spark job, no Arrow pipe by
+    # construction) are the two scaling figures of record.
     import pandas as _pd
     from pyspark.sql import types as _T
 
@@ -391,63 +435,14 @@ def run_scaling(
         vals(parts).mapInPandas(_passthrough, _n_schema).count()
         return round(time.perf_counter() - t0, 3)
 
-    e2e_rounds = []
-    e2e_net_rounds = []
-    e2e_sec_lo_rounds = []
-    e2e_sec_hi_rounds = []
-    e2e_loads = []
-    floor_hi = []
-    floor_lo = []
-    best_eff = -1.0
-    best_net = None
-    s_lo = s_hi = None
-    best_fl = None
-    for rnd in range(3):
-        e2e_loads.append(_wait_for_quiet(max_wait=0 if rnd == 0 else 120))
-        # the floor probe is the RELIABLE stall detector (load average
-        # is not: floors observed at load 1.7): if the pass-through is
-        # 3x its good-window time, the whole leg pair would be
-        # floor-bound — wait out the stall (bounded) before burning a
-        # round. Every probe lands in the artifact, at BOTH task
-        # counts: the floor is what gets SUBTRACTED below, so it must
-        # be measured where it is spent.
-        fl = _floor(hi_tasks)
-        for _ in range(3):
-            if fl <= FLOOR_GOOD_SEC * rows / SCALE_ROWS:
-                break
-            time.sleep(20)
-            fl = _floor(hi_tasks)
-        floor_hi.append(fl)
-        floor_lo.append(_floor(lo_tasks))
-        t_lo, t_hi = [], []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            tdigest_agg(lo, "v", delta=200).count()
-            t_lo.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            tdigest_agg(hi, "v", delta=200).count()
-            t_hi.append(time.perf_counter() - t0)
-        r_lo, r_hi = min(t_lo), min(t_hi)
-        e2e_sec_lo_rounds.append(round(r_lo, 3))
-        e2e_sec_hi_rounds.append(round(r_hi, 3))
-        eff = round((r_lo / r_hi) / ratio, 3)
-        e2e_rounds.append(eff)
-        # floor-netted compute efficiency: subtract each leg's measured
-        # Arrow/pass-through floor so the ratio compares SKETCH COMPUTE
-        # seconds. Only meaningful when compute is a real share of the
-        # wall (>= 30% on both legs) — a floor-bound leg pair yields
-        # null, never a number that can only mislead (r3 verdict #2).
-        c_lo, c_hi = r_lo - floor_lo[-1], r_hi - floor_hi[-1]
-        valid = c_lo >= 0.3 * r_lo and c_hi >= 0.3 * r_hi and c_hi > 0
-        net = round((c_lo / c_hi) / ratio, 3) if valid else None
-        e2e_net_rounds.append(net)
-        if net is not None and (best_net is None or net > best_net):
-            best_net = net
-        if eff > best_eff:
-            best_eff, s_lo, s_hi = eff, r_lo, r_hi
-            best_fl = (floor_lo[-1], floor_hi[-1])
-        if eff >= 0.8 or (net is not None and net >= 0.8):
+    _wait_for_quiet(max_wait=60)
+    floor_hi = [_floor(hi_tasks)]
+    for _ in range(3):
+        if floor_hi[-1] <= FLOOR_GOOD_SEC * rows / SCALE_ROWS:
             break
+        time.sleep(20)
+        floor_hi.append(_floor(hi_tasks))
+    floor_lo = [_floor(lo_tasks)]
     # All-JVM e2e leg (round 4): the SQL build engine runs the whole
     # digest build as JVM codegen aggregation — NO Python workers, so
     # the Arrow IPC floor that nulls the pandas leg above does not
@@ -513,54 +508,28 @@ def run_scaling(
         "n_rows": rows,
         "tasks_lo": lo_tasks,
         "tasks_hi": hi_tasks,
-        "sec_lo": round(s_lo, 3),
-        "sec_hi": round(s_hi, 3),
-        "rows_per_sec_lo": round(rows / s_lo, 1),
-        "rows_per_sec_hi": round(rows / s_hi, 1),
-        # three efficiencies, named for what they measure:
-        # - e2e_shared_jvm: raw wall ratio inside ONE shared JVM (GC,
-        #   codegen cache, memory bandwidth common to all tasks — a
-        #   known local-mode artifact, isolated by a pure-JVM control
-        #   in BENCH.md §2). Kept for continuity; floor-dominated.
-        # - e2e_compute: the wall ratio AFTER subtracting each leg's
-        #   measured Arrow/pass-through floor — sketch COMPUTE seconds
-        #   only; null whenever compute was under 30% of either leg's
-        #   wall (a floor-bound pair cannot yield a meaningful figure).
+        # two efficiencies of record (r4 verdict #6 retired the
+        # floor-dominated pandas-e2e ratios):
         # - process_parallel: per-process kernel (no shared JVM, no
         #   Arrow pipe) — the N-vs-4N-executor analog and the scaling
         #   figure of record.
-        "efficiency_e2e_shared_jvm": round((s_lo / s_hi) / ratio, 3),
-        # best across rounds; the round that produced it is
-        # reconstructable from e2e_net_rounds + the per-round sec /
-        # floor arrays below (sec_lo/sec_hi/floor_*_best belong to the
-        # best-RAW round, which may be a different round)
-        "efficiency_e2e_compute": best_net,
-        "e2e_rounds": e2e_rounds,
-        "e2e_net_rounds": e2e_net_rounds,
-        "e2e_sec_lo_per_round": e2e_sec_lo_rounds,
-        "e2e_sec_hi_per_round": e2e_sec_hi_rounds,
-        "e2e_load_avg_per_round": e2e_loads,
-        # pass-through (no sketch work) time per round at each task
-        # count: the Arrow-transfer floor actually subtracted above
-        "arrow_floor_sec_hi_per_round": floor_hi,
-        "arrow_floor_sec_lo_per_round": floor_lo,
-        "floor_lo_best": None if best_fl is None else best_fl[0],
-        "floor_hi_best": None if best_fl is None else best_fl[1],
-        # True when the floor probe NEVER cleared its good-window gate
-        # in any round: every e2e leg then measured the host's Arrow
-        # IPC stall, not the engine — efficiency_e2e_compute is null in
-        # that case and efficiency_process_parallel is the figure of
-        # record
-        "e2e_floor_stalled": bool(
-            min(floor_hi) > FLOOR_GOOD_SEC * rows / SCALE_ROWS
-        ),
+        # - e2e_jvm_sql: all-JVM SQL-engine Spark job (zero Python
+        #   stages, so no Arrow floor by construction); shared-JVM-
+        #   bound, so a lower bound on multi-executor scaling — see
+        #   BENCH.md §2.
         "efficiency_process_parallel": kernel["efficiency"],
-        # all-JVM SQL-engine e2e leg: no Arrow floor by construction
-        # (zero Python stages); shared-JVM-bound, so a lower bound on
-        # multi-executor scaling — see BENCH.md §2
         "efficiency_e2e_jvm_sql": jvm_best["efficiency"],
         "jvm_sql": jvm_best,
         "kernel": kernel,
+        # host-stall diagnostics: pass-through mapInPandas floor probe
+        # (BENCH.md §2); stalled=true marks a capture taken inside an
+        # Arrow-IPC stall window (affects nothing above — both
+        # published legs avoid the Arrow pipe — but dates the capture)
+        "arrow_floor_sec_hi_probes": floor_hi,
+        "arrow_floor_sec_lo": floor_lo[0],
+        "e2e_floor_stalled": bool(
+            min(floor_hi) > FLOOR_GOOD_SEC * rows / SCALE_ROWS
+        ),
     }
 
 

@@ -52,6 +52,16 @@ def hybrid_search(
     (rank, doc_id, ...)."""
     lex = bm25_topk(docs, doc_id, text_col, query_text, k=k)
     qvec = embeddings.where(F.col(vec_id) == F.lit(query_vec_id))
+    # fail the same way on both paths: without this the indexed path
+    # raises from ivfpq_topk_indexed while brute-force cosine_topk
+    # silently returns an empty semantic list (a BM25-only fusion
+    # masquerading as hybrid). One cheap probe — qvec is a single-id
+    # equality filter, broadcast-small by contract.
+    if qvec.limit(1).count() == 0:
+        raise ValueError(
+            f"hybrid_search: query_vec_id {query_vec_id!r} not found in "
+            f"embeddings.{vec_id} — empty query set"
+        )
     if index_dir is not None:
         from tdigest_spark.operators.pq import ivfpq_topk_indexed
 

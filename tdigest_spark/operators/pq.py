@@ -36,6 +36,7 @@ codebooks, matching ``train_ivf_centroids``'s contract).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -507,9 +508,19 @@ def build_ivfpq_index(
     from tdigest_spark.operators.similarity import train_ivf_centroids
     from tdigest_spark.sources.catalog import write_table
 
+    # validate BEFORE the (driver-side but non-trivial) centroid
+    # training; the residual branch previously bypassed the plain
+    # branch's guards — ksub > 256 silently wrapped uint8 codes and an
+    # empty corpus surfaced as a cryptic np.vstack error (ADVICE r4)
+    if ksub < 1 or ksub > 256:
+        raise ValueError(
+            "build_ivfpq_index: ksub must be in [1, 256] (uint8 codes)"
+        )
     C = train_ivf_centroids(corpus, vec_col, nlist=nlist, seed=seed)
     if residual:
         pdf = corpus.select(vec_col).limit(8192).toPandas()
+        if len(pdf) == 0:  # unreachable after centroid training; kept as a guard
+            raise ValueError("build_ivfpq_index: corpus is empty")
         X = _unit_rows(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64))
         if X.shape[1] % m != 0:
             raise ValueError(
@@ -789,6 +800,12 @@ def refresh_ivfpq_index(
     from tdigest_spark.operators.similarity import _load_ivf_centroids
     from tdigest_spark.sources.catalog import read_table
 
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError(
+            "refresh_ivfpq_index: out_dir must be a NEW directory — "
+            "overwriting index_dir while lazily reading it would destroy "
+            "the index (swap a pointer to out_dir after the build instead)"
+        )
     idx = read_table(spark, index_dir, fmt=fmt)
     corpus = idx.select(F.col(id_col), F.col("vec").alias(vec_col))
     if nlist is None:

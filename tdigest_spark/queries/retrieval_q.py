@@ -6,8 +6,13 @@ discipline).
 Ranking is on the ROUNDED score in both engines: per-term BM25 values
 come out of ``ln`` implementations that may differ in the last ulp
 between the JVM and DuckDB's libm, so ordering by the raw double is
-not cross-engine stable at exact ties — order by round(score, 6) with
-a doc_id tie-break and the ranking is deterministic on both sides.
+not cross-engine stable at exact ties — order by the rounded score
+with a doc_id tie-break and the ranking is deterministic on both
+sides. Round-5 hardening (ADVICE r4): the hashed row carries RANK
+ONLY (no score column — a float that can straddle a rounding boundary
+between the engines' libms), and the ranking round is coarsened to 4
+decimals so near-ties collapse to the doc_id tie-break identically in
+both engines instead of depending on a 0.5e-6 boundary.
 """
 
 from __future__ import annotations
@@ -33,14 +38,14 @@ def rt_bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = bm25_topk_multi(
         docs, "doc_id", "text", qdf, "qid", "qtext",
         k=K, k1=K1, b=B, return_scores=True,
-    ).withColumn("score", F.round("score", 6))
+    ).withColumn("score", F.round("score", 4))
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
         s.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= K)
-        .select("qid", "rank", "doc_id", "score")
+        .select("qid", "rank", "doc_id")
     )
 
 
@@ -78,7 +83,7 @@ ORACLES = {
                    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
                    * (h.tf * ({K1} + 1.0))
                    / (h.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))
-                 ), 6) AS score
+                 ), 4) AS score
           FROM hits h
           JOIN q_terms qt USING (term)
           JOIN dfs d USING (term)
@@ -92,6 +97,6 @@ ORACLES = {
                                     ORDER BY score DESC, doc_id ASC) AS rank
           FROM scored
         )
-        SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {K}
+        SELECT qid, rank, doc_id FROM ranked WHERE rank <= {K}
     """,
 }

@@ -15,7 +15,12 @@ from tdigest_spark.sources.tables import load
 
 
 def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for every 100th vector as a query."""
+    """Brute-force cosine top-5 for every 100th vector as a query.
+
+    No longer a standalone driver row — round 5 folded it into
+    :func:`sim_ivf_indexed_topk` as its tagged ``exact`` leg (SURVEY
+    §8.3 swap discipline; the freed slot admitted ``sim_pq_topk``).
+    Kept callable for tests and users."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     out = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
@@ -45,23 +50,63 @@ def sim_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-IVF-index search (build once into a cell-partitioned
-    table, probe with scan-time partition pruning), run exhaustively
-    (nprobe = nlist) so the result provably equals brute force and
-    hash-matches the SQL oracle; pruned-probe recall, the
-    partition-filter plan, and the in-memory (non-persisted)
-    ``ivf_topk`` variant — round-2's sim_ivf_topk — are covered in
-    test_pipeline_ops.py."""
+    """Two tagged legs in one driver row (round-5 fold, SURVEY §8.3):
+
+    - ``exact`` — brute-force cosine top-5, every 100th vector as a
+      query (round-1's ``sim_topk_exact``, now a leg).
+    - ``ivf`` — persisted-IVF-index search (build once into a
+      cell-partitioned table, probe with scan-time partition pruning),
+      run exhaustively (nprobe = nlist) so the result provably equals
+      brute force and hash-matches the SQL oracle.
+
+    Pruned-probe recall, the partition-filter plan, and the in-memory
+    (non-persisted) ``ivf_topk`` variant — round-2's sim_ivf_topk —
+    are covered in test_pipeline_ops.py."""
     import tempfile
 
     from tdigest_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = sim_topk_exact(spark, sf_dir).select(
+        F.lit("exact").alias("leg"), "query_id", "rank", "vec_id", "cosine"
+    )
     index_dir = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
     fmt = build_ivf_index(emb, "vec_id", "embedding", index_dir, nlist=8, seed=7)
     queries = emb.where(F.col("vec_id") % 180 == 0)
-    out = ivf_topk_indexed(
+    ivf = ivf_topk_indexed(
         spark, index_dir, queries, "vec_id", "embedding", k=3, nprobe=8, fmt=fmt
+    ).select(
+        F.lit("ivf").alias("leg"),
+        "query_id",
+        "rank",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+    return exact.unionAll(ivf)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ search (round-5 admission; the round-4 verdict's
+    #2): build the cell-partitioned PQ index once (16-byte codes +
+    full vectors in the same shards), probe exhaustively, ADC-shortlist
+    128 candidates per query, exact-cosine re-rank to top-5 — sized so
+    the result provably equals brute force on this corpus and
+    hash-matches the SQL oracle. Pruned-probe recall, ADC-vs-exact
+    agreement, the PartitionFilters plan, and the append/refresh
+    lifecycle are covered in tests/test_pq.py."""
+    import tempfile
+
+    from tdigest_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_index_") + "/idx"
+    fmt = build_ivfpq_index(
+        emb, "vec_id", "embedding", index_dir, nlist=8, m=16, ksub=32, seed=7
+    )
+    queries = emb.where(F.col("vec_id") % 150 == 0)
+    out = ivfpq_topk_indexed(
+        spark, index_dir, queries, "vec_id", "embedding",
+        k=5, nprobe=8, rerank=128, fmt=fmt,
     )
     return out.select(
         "query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")
@@ -82,20 +127,51 @@ def sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "sim_topk_exact": sim_topk_exact,
     "sim_lsh_neardup": sim_lsh_neardup,
     "sim_ivf_indexed_topk": sim_ivf_indexed_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_dup_clusters": sim_dup_clusters,
 }
 
 ORACLES = {
-    "sim_topk_exact": """
-        WITH scored AS (
+    "sim_ivf_indexed_topk": """
+        WITH exact_scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                  list_cosine_similarity(c.embedding::DOUBLE[],
                                         q.embedding::DOUBLE[]) AS cos
           FROM embeddings c
           JOIN embeddings q ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ), exact_ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM exact_scored
+        ),
+        ivf_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]) AS cos
+          FROM embeddings c
+          JOIN embeddings q ON q.vec_id % 180 = 0 AND c.vec_id <> q.vec_id
+        ), ivf_ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM ivf_scored
+        )
+        SELECT 'exact' AS leg, query_id, rank, vec_id, round(cos, 4) AS cosine
+        FROM exact_ranked WHERE rank <= 5
+        UNION ALL
+        SELECT 'ivf' AS leg, query_id, rank, vec_id, round(cos, 4) AS cosine
+        FROM ivf_ranked WHERE rank <= 3
+    """,
+    "sim_pq_topk": """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]) AS cos
+          FROM embeddings c
+          JOIN embeddings q ON q.vec_id % 150 = 0 AND c.vec_id <> q.vec_id
         ), ranked AS (
           SELECT query_id, vec_id, cos,
                  row_number() OVER (PARTITION BY query_id
@@ -104,22 +180,6 @@ ORACLES = {
         )
         SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
         FROM ranked WHERE rank <= 5
-    """,
-    "sim_ivf_indexed_topk": """
-        WITH scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                 list_cosine_similarity(c.embedding::DOUBLE[],
-                                        q.embedding::DOUBLE[]) AS cos
-          FROM embeddings c
-          JOIN embeddings q ON q.vec_id % 180 = 0 AND c.vec_id <> q.vec_id
-        ), ranked AS (
-          SELECT query_id, vec_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, vec_id ASC) AS rank
-          FROM scored
-        )
-        SELECT query_id, rank, vec_id, round(cos, 4) AS cosine
-        FROM ranked WHERE rank <= 3
     """,
     "sim_dup_clusters": """
         WITH RECURSIVE corpus AS (

@@ -89,11 +89,21 @@ def test_png_validation_errors():
     bad[20] ^= 0xFF  # inside IHDR body
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad))
-    # RGB color type (color=2) must be rejected, not misread
-    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
-    rgb = good[:8] + _chunk(b"IHDR", ihdr) + good[33:]
-    with pytest.raises(ValueError, match="grayscale"):
-        png_decode(rgb)
+    # unsupported color types (palette=3, gray+alpha=4) must be
+    # rejected, not misread (RGB color=2 is SUPPORTED since round 5)
+    for color in (3, 4, 6):
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 8, color, 0, 0, 0)
+        bad_color = good[:8] + _chunk(b"IHDR", ihdr) + good[33:]
+        with pytest.raises(ValueError, match="grayscale or RGB"):
+            png_decode(bad_color)
+    # 16-bit depth rejected
+    ihdr16 = struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="8-bit"):
+        png_decode(good[:8] + _chunk(b"IHDR", ihdr16) + good[33:])
+    # grayscale IHDR relabeled RGB: scanline byte count no longer fits
+    ihdr_rgb = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_decode(good[:8] + _chunk(b"IHDR", ihdr_rgb) + good[33:])
     with pytest.raises(ValueError, match="truncated"):
         png_decode(good[:-6])
 
@@ -145,12 +155,19 @@ def test_wav_validation_errors():
     good = wav_encode(s, 8000)
     with pytest.raises(ValueError, match="RIFF"):
         wav_decode(b"JUNK" + good[4:])
-    stereo = bytearray(good)
-    stereo[22] = 2  # channels=2
-    with pytest.raises(ValueError, match="mono"):
-        wav_decode(bytes(stereo))
+    multi = bytearray(good)
+    multi[22] = 3  # channels=3 (stereo is SUPPORTED since round 5)
+    with pytest.raises(ValueError, match="mono/stereo"):
+        wav_decode(bytes(multi))
     with pytest.raises(ValueError, match="truncated"):
         wav_decode(good[:-2])
+    # mono relabeled stereo with an odd sample count must raise, not
+    # silently drop a sample
+    odd = wav_encode(np.arange(5, dtype=np.int16), 8000)
+    odd = bytearray(odd)
+    odd[22] = 2
+    with pytest.raises(ValueError, match="odd sample count"):
+        wav_decode(bytes(odd))
 
 
 def test_decode_matches_generator_formulas():

@@ -382,3 +382,42 @@ def test_residual_ivfpq_quantizes_finer_and_searches_exactly(spark, tmp_path):
         spark, d2, queries, "id", "vec", k=5, nprobe=8, rerank=40
     ).toPandas()
     assert (again.groupby("query_id").size() == 5).all()
+
+
+def test_residual_build_validates_ksub_and_empty_corpus(spark, tmp_path):
+    """ADVICE r4: the residual branch must enforce the same ksub/empty
+    guards as the plain branch (ksub > 256 would silently wrap uint8
+    codes; an empty corpus gave a cryptic np.vstack error)."""
+    import pytest as _pytest
+
+    from tdigest_spark.operators.pq import build_ivfpq_index
+
+    rows = _clustered(n_clusters=4, per=10, dim=16, seed=3)
+    corpus = _corpus_df(spark, rows)
+    with _pytest.raises(ValueError, match="ksub"):
+        build_ivfpq_index(
+            corpus, "id", "vec", str(tmp_path / "a"),
+            nlist=2, m=4, ksub=300, residual=True,
+        )
+    empty = corpus.where("id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        build_ivfpq_index(
+            empty, "id", "vec", str(tmp_path / "b"),
+            nlist=2, m=4, ksub=16, residual=True,
+        )
+
+
+def test_refresh_rejects_inplace_overwrite(spark, tmp_path):
+    """ADVICE r4: out_dir == index_dir would overwrite the index while
+    lazily reading it — must raise, never destroy."""
+    import pytest as _pytest
+
+    from tdigest_spark.operators.pq import build_ivfpq_index, refresh_ivfpq_index
+
+    rows = _clustered(n_clusters=4, per=10, dim=16, seed=3)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(_corpus_df(spark, rows), "id", "vec", d, nlist=2, m=4, ksub=16)
+    with _pytest.raises(ValueError, match="NEW directory"):
+        refresh_ivfpq_index(spark, d, d, "id", "vec")
+    # unchanged index still readable
+    assert spark.read.parquet(d).count() == len(rows)

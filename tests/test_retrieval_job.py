@@ -62,3 +62,22 @@ def test_cli_smoke(tmp_path):
     assert names == {"lexical", "semantic", "fused"}
     for s in sections:
         assert len(s["rows"]) == 5
+
+
+def test_hybrid_search_missing_query_vec_id_raises_both_paths(spark, tmp_path):
+    """ADVICE r4: a nonexistent query_vec_id must raise the SAME clear
+    error on the brute-force path (which previously returned a silent
+    BM25-only fusion) and the indexed path."""
+    from tdigest_spark.operators.pq import build_ivfpq_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="query_vec_id"):
+        hybrid_search(docs, emb, "data quality", query_vec_id=-12345, k=5)
+    d = str(tmp_path / "idx")
+    build_ivfpq_index(emb, "vec_id", "embedding", d, nlist=4, m=8, ksub=32, seed=5)
+    with pytest.raises(ValueError, match="query_vec_id"):
+        hybrid_search(
+            docs, emb, "data quality", query_vec_id=-12345, k=5,
+            spark=spark, index_dir=d,
+        )
