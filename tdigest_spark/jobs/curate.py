@@ -12,6 +12,11 @@ Stages (each a narrow/one-shuffle step; no raw-row collect anywhere):
                        language's bottom ``trim_lo`` tail (boilerplate
                        stubs) and top ``trim_hi`` tail (concatenation
                        junk)
+ 3b. model scoring     (optional, ``quality_threshold``) the broadcast
+                       logistic scorer ``score_quality`` over the
+                       curation-signal columns — the fastText-
+                       classifier slot; pure codegen, same stage as
+                       the trim filter, no extra shuffle
  4. rebalance          ``stratified_sample`` caps the head language
                        ('en' is ~45% of the crawl by design)
  5. splits             ``split_by_hash`` train/val/test on the
@@ -60,12 +65,17 @@ def curate_webpages(
     head_lang_fraction: dict | None = None,
     splits: dict | None = None,
     seed: int = 0,
+    quality_threshold: float | None = None,
+    quality_weights: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline over ``pages`` (the input_hint table:
     url/warc_ts/html/text/lang). Returns ``(curated, report)`` —
-    curated rows carry ``canon_url``/``n_chars``/``split``; the report
-    has one row per (lang, split) with counts plus the per-lang
-    raw-vs-curated drift metrics."""
+    curated rows carry ``canon_url``/``n_chars``/``split`` (plus
+    ``quality_prob`` when the model stage is on); the report has one
+    row per (lang, split) with counts plus the per-lang raw-vs-curated
+    drift metrics. ``quality_threshold`` switches on the model-based
+    quality stage (3b): rows scoring below it are dropped;
+    ``quality_weights`` overrides the default heuristic fit."""
     # explicit {} means "no rebalance" — only None selects the default
     if head_lang_fraction is None:
         head_lang_fraction = {"en": 0.5}
@@ -88,6 +98,28 @@ def curate_webpages(
     trimmed = filter_percentile_range(
         deduped, raw_digests, "n_chars", trim_lo, trim_hi, by=["lang"]
     )
+    if quality_threshold is not None:
+        from tdigest_spark.functions.quality import score_quality
+        from tdigest_spark.functions.textstats import (
+            with_curation_signals,
+            with_text_stats,
+        )
+
+        # all-projection stage: signals + score + filter fuse into the
+        # same whole-stage-codegen pass as the trim filter above; the
+        # helper columns are dropped again so the curated schema only
+        # gains quality_prob
+        scored = score_quality(
+            with_curation_signals(with_text_stats(trimmed)),
+            weights=quality_weights,
+        )
+        added = [
+            c for c in scored.columns
+            if c not in trimmed.columns and c != "quality_prob"
+        ]
+        trimmed = scored.where(
+            F.col("quality_prob") >= quality_threshold
+        ).drop(*added)
     balanced = stratified_sample(
         trimmed, "lang", head_lang_fraction, key_cols="canon_url",
         default=1.0, seed=seed,
@@ -119,6 +151,11 @@ def main() -> None:
     ap.add_argument("--delta", type=int, default=200)
     ap.add_argument("--trim-lo", type=float, default=0.05)
     ap.add_argument("--trim-hi", type=float, default=0.99)
+    ap.add_argument(
+        "--quality-threshold", type=float, default=None,
+        help="enable the model-based quality stage; drop rows whose "
+             "logistic keep-probability is below this",
+    )
     args = ap.parse_args()
 
     spark = get_spark("curate_webpages")
@@ -127,7 +164,8 @@ def main() -> None:
         spark, args.n_docs, n_partitions=spark.sparkContext.defaultParallelism * 2
     )
     curated, report = curate_webpages(
-        spark, pages, delta=args.delta, trim_lo=args.trim_lo, trim_hi=args.trim_hi
+        spark, pages, delta=args.delta, trim_lo=args.trim_lo,
+        trim_hi=args.trim_hi, quality_threshold=args.quality_threshold,
     )
     write_table(
         curated.select("canon_url", "lang", "n_chars", "split", "text"),

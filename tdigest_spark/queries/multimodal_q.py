@@ -35,9 +35,13 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_units",
+        "n_channels",
         F.round("mean_val", 4).alias("mean_val"),
         "min_val",
         "max_val",
+        F.round("ch0_mean", 4).alias("ch0_mean"),
+        F.round("ch1_mean", 4).alias("ch1_mean"),
+        F.round("ch2_mean", 4).alias("ch2_mean"),
     )
 
 
@@ -107,17 +111,40 @@ ORACLES = {
         WITH feats AS (
         WITH dims AS ({_DIMS}),
         vals AS (
-          SELECT media_id, kind, n_units,
+          SELECT media_id, kind, n_units, channels,
             CASE WHEN kind = 'image'
               THEN [{PIXEL_SQL} FOR i IN range(0, n_units)]
               ELSE [{SAMPLE_SQL} FOR i IN range(0, n_units)]
-            END AS v
+            END AS v,
+            -- channel c = flat index i % channels (pixel-interleaved
+            -- RGB / frame-interleaved stereo, matching the containers)
+            CASE WHEN kind = 'image'
+              THEN [{PIXEL_SQL} FOR i IN range(0, n_units)
+                    IF i % channels = 0]
+              ELSE [{SAMPLE_SQL} FOR i IN range(0, n_units)
+                    IF i % channels = 0]
+            END AS v0,
+            CASE WHEN channels < 2 THEN NULL
+                 WHEN kind = 'image'
+              THEN [{PIXEL_SQL} FOR i IN range(0, n_units)
+                    IF i % channels = 1]
+              ELSE [{SAMPLE_SQL} FOR i IN range(0, n_units)
+                    IF i % channels = 1]
+            END AS v1,
+            CASE WHEN channels < 3 THEN NULL
+              ELSE [{PIXEL_SQL} FOR i IN range(0, n_units)
+                    IF i % channels = 2]
+            END AS v2
           FROM dims)
         SELECT media_id, kind,
                n_units::BIGINT AS n_units,
+               channels::INT AS n_channels,
                round(list_sum(v) / n_units, 4) AS mean_val,
                list_min(v)::INT AS min_val,
-               list_max(v)::INT AS max_val
+               list_max(v)::INT AS max_val,
+               round(list_sum(v0) / (n_units // channels), 4) AS ch0_mean,
+               round(list_sum(v1) / (n_units // channels), 4) AS ch1_mean,
+               round(list_sum(v2) / (n_units // channels), 4) AS ch2_mean
         FROM vals
     ),
         meta AS (
@@ -125,9 +152,12 @@ ORACLES = {
         SELECT media_id,
                cast((width + 1) // 2 AS INT) AS new_width,
                cast(height AS INT) AS new_height,
+               -- resize keeps even COLUMNS: flat index i belongs to
+               -- column (i // channels) % width (all channels of a
+               -- kept pixel survive together)
                list_sum(
-                 [{PIXEL_SQL} FOR i IN range(0, width * height)
-                  IF (i % width) % 2 = 0]
+                 [{PIXEL_SQL} FOR i IN range(0, n_units)
+                  IF ((i // channels) % width) % 2 = 0]
                )::BIGINT AS px_sum,
                cast(NULL AS INT) AS n_frames,
                cast(NULL AS INT) AS n_kept,
@@ -136,10 +166,12 @@ ORACLES = {
         UNION ALL
         SELECT media_id,
                cast(NULL AS INT), cast(NULL AS INT), cast(NULL AS BIGINT),
-               cast(n_samples // 16 AS INT) AS n_frames,
-               cast((n_samples // 16 + 1) // 2 AS INT) AS n_kept,
+               -- sample_frames windows the FLAT decoded sequence
+               -- (n_units values; stereo interleaved), frame_len=16
+               cast(n_units // 16 AS INT) AS n_frames,
+               cast((n_units // 16 + 1) // 2 AS INT) AS n_kept,
                coalesce(list_sum(
-                 [{SAMPLE_SQL} FOR i IN range(0, (n_samples // 16) * 16)
+                 [{SAMPLE_SQL} FOR i IN range(0, (n_units // 16) * 16)
                   IF (i // 16) % 2 = 0]
                ), 0)::BIGINT AS kept_checksum
         FROM dims WHERE kind = 'audio'

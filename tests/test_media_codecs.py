@@ -175,21 +175,26 @@ def test_decode_matches_generator_formulas():
     exactly the closed-form pixel/sample values (no Spark needed)."""
     from tdigest_spark.operators.multimodal import _dims, _pixels, _samples
 
+    # mid % 4 = 0 -> grayscale, 2 -> RGB; both decode back to the flat
+    # formula sequence (for RGB, flat order is pixel-interleaved rgb)
     for mid in (0, 2, 14, 100):
         d = _dims(mid)
-        px = _pixels(mid, d["width"], d["height"])
+        px = _pixels(mid, d["width"], d["height"], d["channels"])
+        assert px.ndim == (3 if mid % 4 == 2 else 2)
         assert np.array_equal(png_decode(png_encode(px)), px)
-        i = np.arange(d["width"] * d["height"])
+        i = np.arange(d["width"] * d["height"] * d["channels"])
         expect = (mid * 7 + i * 13 + 3) % 256
         assert np.array_equal(px.ravel(), expect.astype(np.uint8))
+    # mid % 4 = 1 -> mono, 3 -> stereo (frame-interleaved on disk)
     for mid in (1, 3, 15, 101):
         d = _dims(mid)
-        s = _samples(mid, d["n_samples"])
+        s = _samples(mid, d["n_samples"], d["channels"])
+        assert s.ndim == (2 if mid % 4 == 3 else 1)
         dec, rate = wav_decode(wav_encode(s, d["sample_rate"]))
         assert rate == 8000 and np.array_equal(dec, s)
-        i = np.arange(d["n_samples"])
+        i = np.arange(d["n_samples"] * d["channels"])
         expect = ((mid * 31 + i * 17) % 4096) - 2048
-        assert np.array_equal(dec.astype(np.int64), expect)
+        assert np.array_equal(dec.astype(np.int64).ravel(), expect)
 
 
 def test_png_matches_pil_when_available():
@@ -206,3 +211,10 @@ def test_png_matches_pil_when_available():
     buf = io.BytesIO()
     PIL.fromarray(img, mode="L").save(buf, format="PNG")
     assert np.array_equal(png_decode(buf.getvalue()), img)
+    # RGB (color type 2), both directions
+    rgb = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    theirs = np.asarray(PIL.open(io.BytesIO(png_encode(rgb, "cycle"))))
+    assert np.array_equal(theirs, rgb)
+    buf = io.BytesIO()
+    PIL.fromarray(rgb, mode="RGB").save(buf, format="PNG")
+    assert np.array_equal(png_decode(buf.getvalue()), rgb)

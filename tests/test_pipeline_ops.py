@@ -130,23 +130,36 @@ def test_multimodal_roundtrip(spark):
         else:
             assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
     feats = decode_features(media).collect()
+    seen_ch = set()
     for r in feats:
+        ch = r["meta"]["channels"]
+        seen_ch.add((r["kind"], ch))
+        assert r["n_channels"] == ch
         if r["kind"] == "image":
-            assert r["n_units"] == r["meta"]["width"] * r["meta"]["height"]
+            assert r["n_units"] == r["meta"]["width"] * r["meta"]["height"] * ch
             assert 0 <= r["min_val"] <= r["max_val"] <= 255
         else:
-            assert r["n_units"] == r["meta"]["n_samples"]
+            assert r["n_units"] == r["meta"]["n_samples"] * ch
             assert -2048 <= r["min_val"] <= r["max_val"] <= 2047
+        # chK_mean present exactly for K < channels
+        assert r["ch0_mean"] is not None
+        assert (r["ch1_mean"] is not None) == (ch >= 2)
+        assert (r["ch2_mean"] is not None) == (ch >= 3)
+    # the media_id % 4 mix actually produced all four shapes
+    assert seen_ch == {("image", 1), ("image", 3), ("audio", 1), ("audio", 2)}
     small = resize_media(media, scale=2).collect()
     from tdigest_spark.functions.media_codecs import png_decode, wav_decode
 
     for r in small:
+        ch = r["meta"]["channels"]
         if r["kind"] == "image":
             img = png_decode(bytes(r["payload"]))
-            assert img.shape == (r["meta"]["height"], r["meta"]["width"])
+            expect = (r["meta"]["height"], r["meta"]["width"])
+            assert img.shape == (expect + (3,) if ch == 3 else expect)
         else:
             s, rate = wav_decode(bytes(r["payload"]))
             assert len(s) == r["meta"]["n_samples"] and rate == 4000
+            assert s.ndim == (2 if ch == 2 else 1)
 
 
 def test_ivf_pruned_recall(spark, sf_dir):
