@@ -1135,11 +1135,23 @@ def _null_nan_key(key: tuple) -> tuple:
 
 
 def tdigest_histogram(
-    df: DataFrame, digest_col: str = "digest", out_col: str = "histogram"
+    df: DataFrame,
+    digest_col: str = "digest",
+    out_col: str = "histogram",
+    include_density: bool = False,
 ) -> DataFrame:
     """Explode a digest into its midpoint bins
     (cf. ``Postprocess/Internal.hs:70-90``):
-    array<struct<lo,hi,mid,weight,cum_weight>>."""
+    array<struct<lo,hi,mid,weight,cum_weight[,density]>>.
+
+    ``include_density`` adds a SECOND array column
+    ``<out_col>_density`` of (lo, hi, density) structs from
+    :meth:`TDigest.density_histogram` — the exact numbers behind
+    tdigest-Chart's histogram render
+    (``tdigest-Chart/src/.../TDigest.hs:86-89,134-147``); the series
+    integrates to 1 over the bin widths. It is a separate column (not
+    a field on the midpoint bins) because the density pass merges
+    equal-mean centroids, so its bin count can differ."""
     bin_type = T.ArrayType(
         T.StructType(
             [
@@ -1151,21 +1163,46 @@ def tdigest_histogram(
             ]
         )
     )
-    keep = [c for c in df.columns if c != digest_col]
-    out_schema = T.StructType(
-        [df.schema[c] for c in keep] + [T.StructField(out_col, bin_type, True)]
+    dens_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+                T.StructField("density", T.DoubleType()),
+            ]
+        )
     )
+    keep = [c for c in df.columns if c != digest_col]
+    out_fields = [df.schema[c] for c in keep] + [
+        T.StructField(out_col, bin_type, True)
+    ]
+    if include_density:
+        out_fields.append(T.StructField(f"{out_col}_density", dens_type, True))
+    out_schema = T.StructType(out_fields)
 
     def evaluate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            out[out_col] = [
-                [
-                    {"lo": lo, "hi": hi, "mid": mid, "weight": w, "cum_weight": cw}
-                    for (lo, hi, mid, w, cw) in TDigest.from_row(r).histogram()
-                ]
-                for r in pdf[digest_col]
-            ]
+            bins, dens = [], []
+            for r in pdf[digest_col]:
+                td = TDigest.from_row(r)
+                bins.append(
+                    [
+                        {"lo": lo, "hi": hi, "mid": mid, "weight": w,
+                         "cum_weight": cw}
+                        for (lo, hi, mid, w, cw) in td.histogram()
+                    ]
+                )
+                if include_density:
+                    dens.append(
+                        [
+                            {"lo": lo, "hi": hi, "density": d}
+                            for (lo, hi, d) in td.density_histogram()
+                        ]
+                    )
+            out[out_col] = bins
+            if include_density:
+                out[f"{out_col}_density"] = dens
             yield out
 
     return df.mapInPandas(evaluate, out_schema)

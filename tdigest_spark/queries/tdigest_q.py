@@ -129,11 +129,22 @@ def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with Spark built-ins and asserted within the published
     O(1/delta) rank-error bound as a boolean (the DuckDB oracle emits
     the same exact facts + literal true, so a bound violation IS a
-    hash mismatch)."""
+    hash mismatch).
+
+    Chart half (round-5 fold — SURVEY §2.6's last driver-unverified
+    mapping): the density-histogram series behind tdigest-Chart's
+    render must integrate to 1 over the bin widths (``dens_integral``;
+    the oracle emits the literal, so a density-formula defect IS a
+    hash mismatch), and the chart's quantile VERTICALS (q25/q50/q75
+    from the same lossless digest, ``tdigest-Chart/src/.../
+    TDigest.hs:91-125``) are emitted as values the oracle recomputes
+    with ``quantile_cont`` — exact equality, not a bound."""
     from tdigest_spark.operators.digest_agg import tdigest_histogram
 
-    dig = tdigest_agg(load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS)
-    h = tdigest_histogram(dig)
+    dig = tdigest_agg(
+        load(spark, sf_dir, "events"), "value", by=["event_type"], delta=LOSSLESS
+    ).localCheckpoint(eager=True)  # feeds histogram AND the verticals
+    h = tdigest_histogram(dig, include_density=True)
     hist = (
         h.select(
             "event_type",
@@ -142,9 +153,26 @@ def td_histogram_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mass"),
             F.round(F.element_at("histogram", 1)["lo"], 4).alias("lo"),
             F.round(F.element_at("histogram", -1)["hi"], 4).alias("hi"),
+            F.round(
+                F.aggregate(
+                    "histogram_density",
+                    F.lit(0.0),
+                    lambda acc, b: acc + b["density"] * (b["hi"] - b["lo"]),
+                ),
+                6,
+            ).alias("dens_integral"),
         )
     )
-    return hist.join(_p99_rank_bounds(spark, sf_dir), "event_type")
+    verts = tdigest_stats(
+        dig,
+        {"v25": ("quantile", 0.25), "v50": ("quantile", 0.5),
+         "v75": ("quantile", 0.75)},
+    )
+    verts = _round(verts, {"v25": 4, "v50": 4, "v75": 4})
+    return (
+        hist.join(verts, "event_type")
+        .join(_p99_rank_bounds(spark, sf_dir), "event_type")
+    )
 
 
 def _p99_rank_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +575,10 @@ ORACLES = {
     "td_histogram_mass_events": """
         SELECT event_type, count(value) AS mass,
                round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+               1.0 AS dens_integral,
+               round(quantile_cont(value, 0.25), 4) AS v25,
+               round(quantile_cont(value, 0.5), 4) AS v50,
+               round(quantile_cont(value, 0.75), 4) AS v75,
                count(value) AS n, true AS p50_ok, true AS p99_ok
         FROM events GROUP BY event_type
     """,

@@ -540,12 +540,35 @@ class TDigest:
         any chart dependency: (lo, hi, density) per bin, integrating
         to 1. Pairs with ``quantile``/``mean``/``stddev`` for the
         chart's quantile verticals and mean±k*sigma lines (:91-125).
+
+        Equal-mean centroids (duplicate values survive as separate
+        centroids in lossless digests) are merged first: the raw
+        midpoint bins would give them zero width and an infinite bar —
+        the reference chart divides by zero there too — whereas the
+        merged bin keeps the same mass at finite height, so the series
+        always integrates to exactly 1 (a documented
+        stability-hardening over the reference; only a digest whose
+        every value is identical still yields the single Dirac bin).
         """
         tw = self.total_weight
+        if self.is_empty():
+            return []
+        ux, inv = np.unique(self.means, return_inverse=True)
+        uw = np.bincount(inv, weights=self.weights)
+        if len(ux) == 1:
+            width = self.vmax - self.vmin
+            dens = 1.0 / width if width > 0 else math.inf
+            return [(self.vmin, self.vmax, dens)]
+        mids = (ux[:-1] + ux[1:]) / 2.0
+        los = np.concatenate(([self.vmin], mids))
+        his = np.concatenate((mids, [self.vmax]))
         out = []
-        for lo, hi, _mid, w, _cw in self.histogram():
+        for lo, hi, w in zip(los, his, uw):
             width = hi - lo
-            out.append((lo, hi, w / width / tw if width > 0 else math.inf))
+            out.append(
+                (float(lo), float(hi),
+                 float(w) / width / tw if width > 0 else math.inf)
+            )
         return out
 
     def mean(self) -> float | None:

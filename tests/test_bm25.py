@@ -175,3 +175,105 @@ def test_bm25_b_zero_disables_length_normalization(spark, docs):
             assert got[doc_id] == pytest.approx(want, abs=1e-9)
         else:
             assert doc_id not in got
+
+
+def test_bm25_require_all_and_semantics(spark, docs):
+    """AND mode: exactly the docs matching EVERY term survive, with
+    UNCHANGED scores (same formula, same corpus stats) — verified
+    against a DuckDB twin with a HAVING matched-term-count bar."""
+    terms = ["the", "data"]
+    any_scores = _oracle_scores(terms)
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores(
+            docs, "doc_id", "text", terms, require_all=True
+        ).collect()
+    }
+    tl = ", ".join(f"'{t}'" for t in terms)
+    con = duckdb.connect()
+    want_ids = {
+        r[0]
+        for r in con.execute(f"""
+            SELECT doc_id FROM (
+              SELECT b.doc_id, count(DISTINCT t.term) AS m
+              FROM (SELECT doc_id,
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '') AS toks
+                    FROM '{SF_DIR}/documents.parquet') b,
+                   unnest(b.toks) AS t(term)
+              WHERE t.term IN ({tl})
+              GROUP BY b.doc_id
+            ) WHERE m = {len(terms)}
+        """).fetchall()
+    }
+    assert set(got) == want_ids
+    assert 0 < len(got) < len(any_scores)  # a strict, non-empty subset
+    for d, s in got.items():
+        assert s == pytest.approx(any_scores[d], abs=1e-6)
+
+
+def test_bm25_phrase_filter_contiguous_and_corpuswide_stats(spark, docs):
+    """The phrase filter keeps exactly the docs whose normalized token
+    stream contains the phrase contiguously, and their scores equal
+    the UNFILTERED run's (df/N/avgdl stay corpus-wide: a phrase
+    restricts candidates, never the collection model)."""
+    terms = ["the", "data"]
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_scores(
+            docs, "doc_id", "text", terms, phrase="the data"
+        ).collect()
+    }
+    con = duckdb.connect()
+    want_ids = {
+        r[0]
+        for r in con.execute(f"""
+            SELECT doc_id
+            FROM (SELECT doc_id,
+                         ' ' || array_to_string(
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x <> ''), ' ') || ' ' AS nt
+                  FROM '{SF_DIR}/documents.parquet')
+            WHERE contains(nt, ' the data ')
+        """).fetchall()
+    }
+    # phrase-matching docs necessarily match both terms -> all score
+    assert set(got) == want_ids
+    assert 0 < len(got) < len(base)
+    for d, s in got.items():
+        assert s == base[d], d  # identical score incl. corpus-wide df
+    # token-boundary safety: a phrase that only occurs inside longer
+    # tokens must not match
+    none = bm25_scores(
+        docs, "doc_id", "text", ["data"], phrase="he dat"
+    ).collect()
+    assert none == []
+    with pytest.raises(ValueError, match="phrase is empty"):
+        bm25_scores(docs, "doc_id", "text", ["data"], phrase="  ")
+
+
+def test_bm25_topk_multi_require_all_matches_single(spark, docs):
+    import pandas as pd
+
+    from tdigest_spark.operators.bm25 import bm25_topk_multi
+
+    qs = ["data quality pipeline", "the model"]
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": range(len(qs)), "qtext": qs})
+    )
+    multi = bm25_topk_multi(
+        docs, "doc_id", "text", qdf, "qid", "qtext", k=8, require_all=True
+    ).toPandas()
+    for qid, q in enumerate(qs):
+        single = bm25_topk(
+            docs, "doc_id", "text", q, k=8, require_all=True
+        ).toPandas()
+        m = multi[multi.qid == qid].sort_values("rank")
+        assert list(m["doc_id"]) == list(single["doc_id"]), q
+        assert np.allclose(
+            m["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9
+        )

@@ -277,6 +277,21 @@ def test_density_histogram_integrates_to_one():
     total = sum((hi - lo) * dens for lo, hi, dens in bins if hi > lo)
     assert total == pytest.approx(1.0, rel=1e-9)
     assert all(dens >= 0 for _, _, dens in bins)
+    # duplicate-heavy lossless digest: equal-mean centroids merge, so
+    # every bar stays finite and the integral is EXACTLY 1 (the raw
+    # midpoint bins would put infinite bars on the duplicated values)
+    import math
+
+    vals = np.round(np.random.default_rng(7).normal(0, 1, 5_000), 1)
+    dd = TDigest.from_values(vals, 1e6)
+    dbins = dd.density_histogram()
+    assert all(hi > lo and math.isfinite(dens) for lo, hi, dens in dbins)
+    dtotal = sum((hi - lo) * dens for lo, hi, dens in dbins)
+    assert dtotal == pytest.approx(1.0, rel=1e-12)
+    # single-value digest: the lone Dirac bin is the documented edge
+    s = TDigest.from_values(np.full(10, 3.5), 100)
+    (one,) = s.density_histogram()
+    assert one[0] == one[1] == 3.5 and math.isinf(one[2])
 
 
 # ------------------------------------------------- k0 threshold parity
