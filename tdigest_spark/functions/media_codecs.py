@@ -16,7 +16,8 @@ Scope (documented, validated with clear errors): PNG — 8-bit
 grayscale (color type 0) and 8-bit RGB truecolor (color type 2,
 round-5 addition per the r4 verdict's gap #1), non-interlaced; other
 color types / depths raise. WAV — RIFF/PCM, 16-bit signed
-little-endian, mono or stereo (interleaved frames). Reference scope
+little-endian, mono or stereo (interleaved frames). Baseline JPEG
+(the other half of gap #1) lives in ``jpeg_codec.py``. Reference scope
 note: the reference engine is numeric-only
 (``tdigest/src/Data/TDigest/Internal.hs:4-7``) — multimodal columns
 are a beyond-reference training-data-pipeline addition.

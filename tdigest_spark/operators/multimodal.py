@@ -197,14 +197,24 @@ def synth_media(spark: SparkSession, n: int) -> DataFrame:
 
 
 def _decode(payload: bytes) -> np.ndarray:
-    """Container-sniffing decode: PNG -> uint8 pixel matrix, WAV ->
-    int16 sample vector. Raises on anything else — a corrupt payload
-    must fail loudly, not feed garbage statistics downstream."""
+    """Container-sniffing decode: PNG/JPEG -> uint8 pixel matrix, WAV
+    -> int16 sample vector. Raises on anything else — a corrupt payload
+    must fail loudly, not feed garbage statistics downstream.
+
+    JPEG note: the deterministic media generator stays PNG/WAV-only
+    because JPEG is lossy — the oracle's closed-form pixel formulas
+    could not reproduce decoded statistics exactly. JPEG enters the
+    pipeline as user data; round-trip fidelity is tested against the
+    encoder in ``tests/test_jpeg_codec.py``."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(payload)
     if payload[:4] == b"RIFF":
         return wav_decode(payload)[0]
-    raise ValueError("unknown media container (expected PNG or WAV)")
+    if payload[:3] == b"\xff\xd8\xff":
+        from tdigest_spark.functions.jpeg_codec import jpeg_decode
+
+        return jpeg_decode(payload)
+    raise ValueError("unknown media container (expected PNG, JPEG or WAV)")
 
 
 def decode_features(df: DataFrame) -> DataFrame:
