@@ -247,11 +247,30 @@ def jaccard_verify(
     instead of the k-gram string (set sizes and intersections are
     preserved up to 64-bit collisions, ~n²/2⁶⁵ expected — negligible
     against the candidate volumes this stage sees). ``hash_col``: the
-    input already carries the shingle hash."""
+    input already carries the shingle hash.
+
+    The stage is O(candidate docs), not O(corpus): the shingle table is
+    semi-joined down to ids that appear in some candidate pair BEFORE
+    the size aggregate — without that, verifying a handful of pairs
+    against a 100 TB corpus would shuffle every document's shingles
+    into the ``|A|``/``|B|`` groupBy (AQE turns the semi-join into a
+    broadcast when the candidate id set is small, which it is by
+    construction after banding)."""
+    from pyspark import StorageLevel
+
     if hash_col is None:
         shh = sh.select(id_col, F.xxhash64("s").alias("__sh"))
     else:
         shh = sh.select(id_col, F.col(hash_col).alias("__sh"))
+    # pairs feeds the id-restriction AND the intersection join — pin it
+    # so the (possibly expensive) candidate pipeline upstream runs once
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shh = shh.join(cand_ids, id_col, "left_semi")
     sizes = shh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shh.select(F.col(id_col).alias("id_a"), "__sh")
     b = shh.select(F.col(id_col).alias("id_b"), "__sh")

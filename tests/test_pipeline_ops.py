@@ -612,3 +612,29 @@ def test_decontaminate_report_and_clean(spark, docs):
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     report.unpersist()
+
+
+def test_jaccard_verify_sizes_are_candidate_restricted(spark, corpus):
+    """The |A|/|B| size aggregate must run over candidate ids only —
+    verifying a handful of pairs against a big corpus must not shuffle
+    every document's shingles into the groupBy. The restriction shows
+    up as a LeftSemi join below the size aggregate; correctness of the
+    restricted sizes is pinned by an exact pandas recomputation."""
+    from tdigest_spark.operators.dedup import jaccard_verify, shingles
+
+    sh = shingles(corpus, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(0, 20_000), (5, 10_005)],  # planted exact copy + near-dup
+        "id_a long, id_b long",
+    ).where(F.col("id_a") != F.col("id_b"))
+    out = jaccard_verify(pairs, sh, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # recompute exactly from the full shingle table
+    pdf = sh.toPandas()
+    sets = {k: set(g["s"]) for k, g in pdf.groupby("doc_id")}
+    for (a, b), j in got.items():
+        expect = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert j == pytest.approx(expect, abs=1e-12)
+    assert got[(0, 20_000)] == 1.0  # the planted exact copy
