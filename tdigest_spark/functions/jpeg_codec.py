@@ -13,9 +13,12 @@ Scope (documented, validated with clear errors):
 
 * baseline sequential DCT only (SOF0) — progressive (SOF2),
   arithmetic coding and hierarchical modes raise;
-* 8-bit precision, 1 (grayscale) or 3 (YCbCr 4:4:4) components —
-  subsampled chroma (4:2:0 / 4:2:2) raises; our encoder only emits
-  4:4:4 so the pipeline never produces what the decoder refuses;
+* 8-bit precision, 1 (grayscale) or 3 (YCbCr) components, sampling
+  factors 1 or 2 per axis — so 4:4:4, 4:2:0 (the real-world default:
+  PIL/libjpeg below quality 95, every camera), 4:2:2 and 4:4:0 all
+  decode, MCU-interleaved with nearest-neighbor chroma upsampling;
+  factors above 2 raise. The encoder emits 4:4:4 or
+  (``subsampling="420"``) box-averaged 4:2:0;
 * no restart intervals (DRI raises; the encoder never emits one).
 
 Tables are the T.81 Annex K typical quantization matrices (quality
@@ -204,9 +207,25 @@ def _encode_blocks(channel: np.ndarray) -> np.ndarray:
     return np.einsum("ux,byxv,wv->byuw", _C, blocks, _C, optimize=True)
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+def _box_down2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample (edge-padded to even dims first) —
+    the chroma decimation filter libjpeg uses for 4:2:0."""
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        plane[0::2, 0::2] + plane[0::2, 1::2]
+        + plane[1::2, 0::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def jpeg_encode(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """Encode a uint8 array as a baseline JFIF JPEG: ``(h, w)`` ->
-    grayscale, ``(h, w, 3)`` -> YCbCr 4:4:4 from RGB."""
+    grayscale, ``(h, w, 3)`` -> YCbCr from RGB. ``subsampling``:
+    ``"444"`` keeps chroma at full resolution; ``"420"`` box-averages
+    it 2x2 and writes the MCU-interleaved stream real-world encoders
+    default to (PIL/libjpeg below quality 95, every camera)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         ncomp = 1
@@ -217,17 +236,21 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
             "jpeg_encode expects (h, w) grayscale or (h, w, 3) RGB uint8")
     if img.size == 0:
         raise ValueError("jpeg_encode expects a non-empty array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("jpeg subsampling must be '444' or '420'")
     h, w = img.shape[0], img.shape[1]
     if h > 65535 or w > 65535:
         raise ValueError("jpeg dimensions exceed 65535")
 
     q_luma = _quality_scale(_Q_LUMA, quality)
     q_chroma = _quality_scale(_Q_CHROMA, quality)
+    sub = 2 if (ncomp == 3 and subsampling == "420") else 1
 
     if ncomp == 1:
         planes = [img.astype(np.float64)]
         qtabs = [q_luma]
         qids = [0]
+        samps = [(1, 1)]
     else:
         r = img[..., 0].astype(np.float64)
         g = img[..., 1].astype(np.float64)
@@ -235,13 +258,30 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub == 2:
+            cb, cr = _box_down2(cb), _box_down2(cr)
         planes = [y, cb, cr]
         qtabs = [q_luma, q_chroma, q_chroma]
         qids = [0, 1, 1]
+        samps = [(sub, sub), (1, 1), (1, 1)]
+
+    # pad every plane out to full MCUs so each component's block grid
+    # is exactly (mcuy*vs, mcux*hs) — the interleaved scan needs the
+    # grids to tile the same MCU lattice
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
 
     # quantized zigzag coefficients per component
     coeffs = []
-    for plane, qt in zip(planes, qtabs):
+    for plane, qt, (hs, vs) in zip(planes, qtabs, samps):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        plane = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
         f = _encode_blocks(plane - 128.0)
         qz = np.round(f / qt.reshape(8, 8)).astype(np.int32)
         coeffs.append(qz.reshape(qz.shape[0], qz.shape[1], 64)[..., _ZIGZAG])
@@ -254,39 +294,47 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    nby, nbx = coeffs[0].shape[0], coeffs[0].shape[1]
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(ncomp):
-                zz = coeffs[ci][by, bx]
-                dct, act = dc_tabs[tab_ix[ci]], ac_tabs[tab_ix[ci]]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dct[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        if k > last_nz:
-                            code, length = act[0x00]  # EOB
-                            bw.write(code, length)
-                            break
-                        run += 1
-                        if run == 16:
-                            code, length = act[0xF0]  # ZRL
-                            bw.write(code, length)
-                            run = 0
-                        continue
-                    size, bits = _magnitude(v)
-                    code, length = act[(run << 4) | size]
+
+    def emit_block(zz: np.ndarray, ci: int) -> None:
+        dct, act = dc_tabs[tab_ix[ci]], ac_tabs[tab_ix[ci]]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = dct[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    code, length = act[0x00]  # EOB
                     bw.write(code, length)
-                    bw.write(bits, size)
+                    break
+                run += 1
+                if run == 16:
+                    code, length = act[0xF0]  # ZRL
+                    bw.write(code, length)
                     run = 0
+                continue
+            size, bits = _magnitude(v)
+            code, length = act[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+
+    # MCU-interleaved scan order (T.81 A.2.3): per MCU, each
+    # component's vs x hs data units in raster order — degenerates to
+    # plain per-block raster when every factor is 1 (4:4:4/grayscale)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hs, vs = samps[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        emit_block(coeffs[ci][my * vs + v, mx * hs + u], ci)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -298,10 +346,11 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     if ncomp == 3:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + \
             bytes(int(v) for v in q_chroma[_ZIGZAG])
-    # SOF0: precision 8, all sampling factors 1x1 (4:4:4)
+    # SOF0: precision 8, per-component sampling factors
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT segments
     for cls, tid, (bits_l, vals) in (
@@ -435,10 +484,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(
-                        "jpeg: only 4:4:4 (1x1 sampling) supported")
-                comps.append((cid, qid))
+                        "jpeg: sampling factors above 2 not supported")
+                comps.append((cid, qid, hs, vs))
             if nc not in (1, 3):
                 raise ValueError("jpeg: 1 or 3 components supported")
             frame = (fh, fw, comps)
@@ -467,53 +517,83 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     sel, entropy_start = scan
     if len(sel) != len(comps):
         raise ValueError("jpeg: scan/frame component mismatch")
-    qid_by_cid = dict(comps)
+    samp_by_cid = {cid: (hs, vs) for cid, _q, hs, vs in comps}
+    qid_by_cid = {cid: qid for cid, qid, _h, _v in comps}
+    hmax = max(hs for _c, _q, hs, _v in comps)
+    vmax = max(vs for _c, _q, _h, vs in comps)
+    ncomp = len(comps)
+    if ncomp == 1:
+        # single-component scans are non-interleaved (T.81 A.2.2):
+        # sampling factors are moot, the MCU is one block over the
+        # component's own full-resolution grid
+        hmax = vmax = 1
+        samp_by_cid = {comps[0][0]: (1, 1)}
 
     br = _BitReader(data, entropy_start)
-    nby, nbx = (fh + 7) // 8, (fw + 7) // 8
-    ncomp = len(comps)
-    zz_planes = [np.zeros((nby, nbx, 64), dtype=np.float64)
-                 for _ in range(ncomp)]
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    grids = []  # per scan component: (hs, vs, blocks array)
+    for cid, _dc, _ac in sel:
+        hs, vs = samp_by_cid[cid]
+        grids.append(
+            (hs, vs, np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.float64))
+        )
     pred = [0] * ncomp
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, (cid, dc_tid, ac_tid) in enumerate(sel):
                 dct = htables.get((0, dc_tid))
                 act = htables.get((1, ac_tid))
                 if dct is None or act is None:
                     raise ValueError("jpeg: missing Huffman table")
-                zz = zz_planes[ci][by, bx]
-                size = _decode_huffman(br, dct)
-                pred[ci] += _extend(br.bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_huffman(br, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0x0F
-                    if k > 63:
-                        raise ValueError("jpeg: AC run past block end")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
+                hs, vs, blocks = grids[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        zz = blocks[my * vs + v, mx * hs + u]
+                        size = _decode_huffman(br, dct)
+                        pred[ci] += _extend(br.bits(size), size)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC run past block end")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
 
     planes = []
     for ci, (cid, _dc, _ac) in enumerate(sel):
         qt = qtables.get(qid_by_cid[cid])
         if qt is None:
             raise ValueError("jpeg: missing quantization table")
+        hs, vs, zzb = grids[ci]
+        nby, nbx = zzb.shape[0], zzb.shape[1]
         nat = np.empty((nby, nbx, 64), dtype=np.float64)
-        nat[..., _ZIGZAG] = zz_planes[ci]
+        nat[..., _ZIGZAG] = zzb
         nat *= qt.astype(np.float64)
         blocks = nat.reshape(nby, nbx, 8, 8)
         spatial = np.einsum("xu,byuv,vw->byxw", _C.T, blocks, _C,
                             optimize=True)
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        planes.append(plane[:fh, :fw] + 128.0)
+        # crop to the component's own resolution, then replicate up to
+        # frame resolution (nearest-neighbor — T.81 leaves the
+        # upsampling filter to the decoder)
+        ch = (fh * vs + vmax - 1) // vmax
+        cw = (fw * hs + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vs != vmax or hs != hmax:
+            plane = plane.repeat(vmax // vs, axis=0).repeat(
+                hmax // hs, axis=1
+            )[:fh, :fw]
+        planes.append(plane + 128.0)
 
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -4,9 +4,9 @@ Encoder and decoder communicate only through the bitstream (the
 decoder rebuilds quantization and Huffman tables from DQT/DHT
 segments), so round-trips exercise the real wire format: marker
 layout, canonical Huffman construction, byte stuffing, DC prediction,
-zigzag, quality scaling, and the 4:4:4 MCU walk. A PIL cross-check
-documents the external-decoder gate (skipped where PIL is absent,
-like the PNG one).
+zigzag, quality scaling, and the MCU walk in both 4:4:4 and
+MCU-interleaved 4:2:0 form. PIL cross-checks document the
+external-decoder gate (skipped where PIL is absent, like the PNG one).
 """
 
 from __future__ import annotations
@@ -144,13 +144,15 @@ def test_validation_errors():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode(bad)
-    # subsampled chroma must be rejected: patch SOF sampling byte
+    # sampling factors above 2 must be rejected: patch SOF sampling
     rgb = jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), quality=90)
     sof = rgb.index(b"\xff\xc0")
     comp0_samp = sof + 4 + 6 + 1  # marker+len, prec+h+w+nc, comp id
-    bad = rgb[:comp0_samp] + b"\x22" + rgb[comp0_samp + 1:]
-    with pytest.raises(ValueError, match="4:4:4"):
+    bad = rgb[:comp0_samp] + b"\x33" + rgb[comp0_samp + 1:]
+    with pytest.raises(ValueError, match="sampling factors above 2"):
         jpeg_decode(bad)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
 
 
 def test_decode_features_pipeline_with_jpeg_payloads(spark):
@@ -210,3 +212,75 @@ def test_jpeg_matches_pil_when_available():
         buf, format="JPEG", quality=90, subsampling=0)
     ours = jpeg_decode(buf.getvalue())
     assert np.abs(ours.astype(int) - img.astype(int)).max() <= 6
+
+
+# ------------------------------------------------ 4:2:0 subsampling
+
+def test_constant_images_roundtrip_exactly_420():
+    # constant chroma survives box-downsampling exactly, so the
+    # DC-only argument holds for the subsampled stream too
+    for val in (0, 77, 128, 255):
+        img = np.full((17, 23, 3), val, dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode(img, quality=95, subsampling="420"))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - int(val)).max()) == 0
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (37, 53), (9, 13), (8, 33)])
+def test_rgb_roundtrip_smooth_420(h, w):
+    # smooth chroma loses little to 2x2 box-averaging; odd dims cover
+    # the pad-to-MCU (16x16) edge handling on both axes
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        np.clip(100 + yy + xx, 0, 255),
+        np.clip(50 + 2 * xx, 0, 255),
+        np.clip(30 + 2 * yy, 0, 255),
+    ], axis=-1).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=90, subsampling="420"))
+    assert out.shape == (h, w, 3)
+    err = out.astype(int) - img.astype(int)
+    assert np.sqrt((err ** 2).mean()) < 3.0
+    assert np.abs(err).max() <= 14  # nearest-neighbor chroma upsample
+
+
+def test_420_sampling_bytes_and_size_saving():
+    img = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    enc420 = jpeg_encode(img, quality=85, subsampling="420")
+    enc444 = jpeg_encode(img, quality=85, subsampling="444")
+    # SOF0 declares Y 2x2, Cb/Cr 1x1
+    sof = enc420.index(b"\xff\xc0")
+    comps = enc420[sof + 10:sof + 19]
+    assert comps[1] == 0x22 and comps[4] == 0x11 and comps[7] == 0x11
+    # chroma-rich noise is where 4:2:0 actually saves bytes
+    assert len(enc420) < len(enc444)
+    # and the stream still round-trips through the generic decoder
+    assert jpeg_decode(enc420).shape == img.shape
+
+
+def test_gray_in_rgb_420_matches_444():
+    # r=g=b content has constant chroma (128): subsampling must cost
+    # nothing — the two modes' decodes agree to rounding
+    g = _gradient(24, 40)
+    img = np.stack([g] * 3, axis=-1)
+    d444 = jpeg_decode(jpeg_encode(img, quality=90, subsampling="444"))
+    d420 = jpeg_decode(jpeg_encode(img, quality=90, subsampling="420"))
+    assert np.abs(d444.astype(int) - d420.astype(int)).max() <= 2
+
+
+def test_jpeg_420_matches_pil_when_available():
+    """The real-world gate: PIL writes 4:2:0 by default below quality
+    95 — we must read it, and PIL must read our 4:2:0 stream."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    g = _gradient(32, 40)
+    img = np.stack([g, np.flipud(g), np.fliplr(g)], axis=-1)
+    buf = io.BytesIO()
+    PIL.fromarray(img, mode="RGB").save(
+        buf, format="JPEG", quality=90, subsampling=2)
+    ours = jpeg_decode(buf.getvalue())
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 24
+    theirs = np.asarray(
+        PIL.open(io.BytesIO(jpeg_encode(img, quality=90, subsampling="420")))
+    )
+    assert np.abs(theirs.astype(int) - img.astype(int)).max() <= 24
