@@ -265,10 +265,10 @@ def jaccard_verify(
     # pairs feeds the id-restriction AND the intersection join — pin it
     # so the (possibly expensive) candidate pipeline upstream runs once
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no distinct: left_semi ignores probe-side duplicates, and
+    # skipping it saves a shuffle of the candidate id list
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     shh = shh.join(cand_ids, id_col, "left_semi")
     sizes = shh.groupBy(id_col).agg(F.count("*").alias("n"))
