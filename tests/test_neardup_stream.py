@@ -202,3 +202,23 @@ def test_drop_matched_false_indexes_everything(spark, tmp_path):
         for r in read_neardup_pairs(spark, str(tmp_path / "pairs")).collect()
     }
     assert got == {(1, 0)}
+
+
+def test_pairless_batches_read_back(spark, tmp_path):
+    """A batch with no duplicates writes an EMPTY pairs table — the
+    schema-bearing empty parquet must read back through
+    read_neardup_pairs (0 rows, full schema), and every doc indexes."""
+    src = tmp_path / "src"
+    for i in range(2):
+        spark.createDataFrame(
+            [(10 * i + j, _text(10 * i + j)) for j in range(3)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(src / f"chunk={i}"))
+    idx = str(tmp_path / "idx")
+    _run_sink(spark, src, idx, str(tmp_path / "pairs"), str(tmp_path / "ck"))
+    pairs = read_neardup_pairs(spark, str(tmp_path / "pairs"))
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {
+        "batch_doc", "matched_doc", "jaccard", "matched_in_batch"
+    }
+    assert _indexed_ids(spark, idx) == {0, 1, 2, 10, 11, 12}
