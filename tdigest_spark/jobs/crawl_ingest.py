@@ -1,0 +1,174 @@
+"""Continuous crawl ingest: the streaming front half of the curation
+pipeline, composed from the engine's own stages.
+
+``jobs.curate`` is the batch curation pass; this job is what runs
+BEFORE it on a live crawl — admitting pages into the corpus as they
+arrive while holding the corpus duplicate-free and quality-floored:
+
+1. **URL exact dedup** — ``url_normalize`` canonical keys through
+   ``streaming_bloom_dedup``: bounded state forever (a Bloom blob per
+   bucket, never a per-key state store), re-fetches of a known page
+   drop before they cost anything downstream.
+2. **Text near-dup dedup** — ``neardup_ingest_sink``: each micro-batch
+   probes the persisted MinHash band index (and itself), keep-first
+   survivors only; the batch dedups against everything EVER ingested
+   without rescanning it.
+3. **Quality scoring** (optional) — the broadcast logistic scorer over
+   the curation signals (all codegen, zero extra shuffle); rows under
+   the threshold are quarantined out of the curated corpus.
+4. **Corpus + metrics commit** — survivors land in a per-batch corpus
+   directory and a per-batch metrics JSON records lineage
+   (post-dedup rows, quality-rejected, rows out, mean quality;
+   dedup pairs themselves live in the sink's pairs table). All
+   writes ride the near-dup sink's ``on_survivors`` hook, i.e. they
+   happen BEFORE the manifest swap — a crash anywhere replays the
+   batch into identical bytes, so corpus, metrics, pairs and index
+   commit exactly-once together.
+
+Scale shape: stages 1 and 3 are narrow (no shuffle); stage 2 pays one
+signature pass per batch and partition-pruned index probes
+(``streaming/neardup_stream.py``); the corpus write appends per-batch
+directories that ``compact_neardup_segments``-style housekeeping can
+fold later. Input is the input_hint table shape (url, warc_ts, html,
+text, lang).
+
+No reference counterpart (the reference is a numeric-sketch library,
+``tdigest/src/Data/TDigest/Internal.hs:4-7``) — this is the
+training-data-pipeline surface over it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tdigest_spark.functions.urls import url_normalize
+
+__all__ = ["crawl_ingest_sink", "read_curated", "read_ingest_metrics"]
+
+_METRICS_SUB = "_metrics"
+
+
+def crawl_ingest_sink(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    quality_threshold: float | None = None,
+    quality_weights: dict | None = None,
+    bloom_buckets: int = 16,
+    bloom_bits: int = 1 << 22,
+    **neardup_kwargs,
+):
+    """Wire the four stages over ``stream`` and start it. Returns the
+    StreamingQuery. ``quality_threshold=None`` skips stage 3 entirely;
+    with a threshold, curated rows carry their ``quality_prob``.
+
+    Exactly-once: corpus/metrics writes are deterministic per-batch
+    overwrites inside the near-dup sink's pre-commit hook; dedup
+    lineage and corpus contents can never disagree after a crash."""
+    from tdigest_spark.streaming.dedup_stream import streaming_bloom_dedup
+    from tdigest_spark.streaming.neardup_stream import neardup_ingest_sink
+
+    canon = stream.withColumn(
+        "canon_url", F.coalesce(url_normalize(id_col), F.col(id_col))
+    )
+    fresh = streaming_bloom_dedup(
+        canon, "canon_url", buckets=bloom_buckets, n_bits=bloom_bits
+    )
+
+    def on_survivors(survivors: DataFrame, batch_id: int) -> None:
+        out = survivors
+        n_survived = out.count()
+        n_quality_dropped = 0
+        mean_quality = None
+        if quality_threshold is not None:
+            from tdigest_spark.functions.quality import score_quality
+            from tdigest_spark.functions.textstats import (
+                with_curation_signals,
+                with_text_stats,
+            )
+
+            scored = score_quality(
+                with_curation_signals(with_text_stats(out, text_col), text_col),
+                weights=quality_weights,
+            )
+            added = [
+                c for c in scored.columns
+                if c not in out.columns and c != "quality_prob"
+            ]
+            scored = scored.drop(*added).localCheckpoint(eager=True)
+            agg = scored.agg(
+                F.count("*").alias("n"),
+                F.avg("quality_prob").alias("mq"),
+                F.sum(
+                    (F.col("quality_prob") < quality_threshold).cast("long")
+                ).alias("nd"),
+            ).collect()[0]
+            mean_quality = agg["mq"]
+            n_quality_dropped = int(agg["nd"] or 0)
+            out = scored.where(F.col("quality_prob") >= quality_threshold)
+        out.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"b{batch_id}")
+        )
+        os.makedirs(os.path.join(corpus_dir, _METRICS_SUB), exist_ok=True)
+        mpath = os.path.join(corpus_dir, _METRICS_SUB, f"b{batch_id}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "rows_after_neardup": n_survived,
+                    "quality_rejected": n_quality_dropped,
+                    "rows_out": n_survived - n_quality_dropped,
+                    "mean_quality": mean_quality,
+                },
+                f,
+            )
+        os.replace(tmp, mpath)
+
+    return neardup_ingest_sink(
+        fresh,
+        "canon_url",
+        text_col,
+        index_dir,
+        pairs_dir,
+        checkpoint_dir,
+        threshold=threshold,
+        on_survivors=on_survivors,
+        **neardup_kwargs,
+    )
+
+
+def read_curated(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The curated corpus across batches. Per-batch dirs are
+    deterministic overwrites, so crash-then-replay leftovers are
+    byte-identical to their committed twins — the glob read is safe
+    (same argument as ``read_neardup_pairs``)."""
+    subs = sorted(
+        os.path.join(corpus_dir, d)
+        for d in os.listdir(corpus_dir)
+        if d.startswith("b")
+    )
+    if not subs:
+        raise ValueError(f"read_curated: no batch dirs under {corpus_dir}")
+    return spark.read.parquet(*subs)
+
+
+def read_ingest_metrics(corpus_dir: str) -> list[dict]:
+    """Per-batch lineage/metrics records, batch order."""
+    mdir = os.path.join(corpus_dir, _METRICS_SUB)
+    out = []
+    for name in sorted(
+        os.listdir(mdir), key=lambda n: int(n[1:].split(".")[0])
+    ):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out

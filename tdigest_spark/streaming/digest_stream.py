@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from tdigest_spark.sketch.tdigest import TDigest
+from tdigest_spark.streaming._batch import drain_batch
 
 __all__ = [
     "stateful_digest_stream",
@@ -306,7 +307,8 @@ def digest_sink(
         spark = batch_df.sparkSession
         last = _last_committed_batch(table_dir)
         if last is not None and batch_id <= last:
-            return  # replayed batch: already merged
+            drain_batch(batch_df)  # replayed batch: already merged
+            return
         new = tdigest_agg(batch_df, value_col, by=by, delta=delta)
         if last is not None and by:
             # incremental-view maintenance (same split as sketch_sink):
@@ -488,7 +490,8 @@ def sketch_sink(
         spark = batch_df.sparkSession
         last = _last_committed_batch(table_dir)
         if last is not None and batch_id <= last:
-            return  # replayed batch: already merged
+            drain_batch(batch_df)  # replayed batch: already merged
+            return
         new = sketch_build(batch_df, specs, by=by, strategy=strategy)
         if last is not None and by:
             # incremental-view maintenance: only groups PRESENT in this

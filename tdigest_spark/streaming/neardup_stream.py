@@ -58,6 +58,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tdigest_spark.operators.dedup import jaccard_verify
+from tdigest_spark.streaming._batch import drain_batch
 from tdigest_spark.operators.neardup_index import (
     _BANDS_SUB,
     _PARAMS_FILE,
@@ -171,10 +172,20 @@ def neardup_ingest_sink(
     n_shards: int = 32,
     drop_matched: bool = True,
     max_probe_partitions: int = 512,
+    on_survivors=None,
 ):
     """foreachBatch sink: near-dup-check each micro-batch against the
     index (and against itself), emit verified pairs, index the
     survivors, commit exactly-once. Returns the StreamingQuery.
+
+    ``on_survivors(survivors_df, batch_id)``: optional hook receiving
+    the batch's surviving ORIGINAL rows (full input schema) before the
+    manifest commit — downstream writes made here (idempotent ones:
+    deterministic per-batch overwrite, like the sink's own tables)
+    inherit the sink's exactly-once guarantee, because a crash after
+    the hook but before the commit replays the whole batch. This is
+    the composition point for ingest pipelines (see
+    ``jobs.crawl_ingest``).
 
     Pairs land under ``pairs_dir/b<batch_id>`` with schema
     ``(batch_doc, matched_doc, jaccard, matched_in_batch)`` —
@@ -200,7 +211,8 @@ def neardup_ingest_sink(
         spark = batch_df.sparkSession
         manifest = _load_manifest(index_dir)
         if manifest["last_batch"] is not None and batch_id <= manifest["last_batch"]:
-            return  # replayed batch: already committed
+            drain_batch(batch_df)  # replayed batch: already committed
+            return
         p = _ensure_params(
             index_dir,
             id_col=id_col,
@@ -267,8 +279,12 @@ def neardup_ingest_sink(
             dropped = pairs.select(F.col("batch_doc").alias(id_col)).distinct()
             keep_bands = q_bands.join(dropped, id_col, "left_anti")
             keep_sh = q_sh.join(dropped, id_col, "left_anti")
+            survivors = batch_df.join(dropped, id_col, "left_anti")
         else:
             keep_bands, keep_sh = q_bands, q_sh
+            survivors = batch_df
+        if on_survivors is not None:
+            on_survivors(survivors, batch_id)
 
         if not keep_bands.isEmpty():
             seg = os.path.join(_BATCHES_SUB, f"b{batch_id}")

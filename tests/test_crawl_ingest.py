@@ -1,0 +1,165 @@
+"""Streaming crawl ingest job: URL Bloom dedup -> near-dup index ->
+quality gate -> exactly-once corpus + metrics commits."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.jobs.crawl_ingest import (
+    crawl_ingest_sink,
+    read_curated,
+    read_ingest_metrics,
+)
+from tdigest_spark.streaming.neardup_stream import read_neardup_pairs
+
+def _prose(tag: str) -> str:
+    # shared opening + a long tag-specific tail: prose-like signals,
+    # but distinct pages are NOT near-dups of each other
+    return (
+        "the quick brown fox and the lazy dog were out in the field "
+        "while they watched the river " + " ".join(
+            f"{tag}{j} and the {tag} {j}" for j in range(12)
+        )
+    )
+SPAM = (
+    "buy cheap buy cheap buy cheap http://spam.example/1 "
+    "http://spam.example/2 http://spam.example/3 call 555 0199 555 "
+    "0199 buy cheap buy cheap http://spam.example/4 now now now 99 99"
+)
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _row(url, text):
+    return (url, datetime(2026, 1, 1), bytearray(text.encode()), text, "en")
+
+
+@pytest.fixture(scope="module")
+def quality_split(spark):
+    """Measured scores for the test texts — the threshold sits between
+    the spam and prose scores, so the gate provably separates them."""
+    from tdigest_spark.functions.quality import score_quality
+    from tdigest_spark.functions.textstats import (
+        with_curation_signals,
+        with_text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, SPAM), (1, _prose("probe"))], "i long, text string"
+    )
+    got = {
+        r["i"]: r["quality_prob"]
+        for r in score_quality(
+            with_curation_signals(with_text_stats(df))
+        ).collect()
+    }
+    assert got[0] < got[1], got  # spam must score below prose
+    return (got[0] + got[1]) / 2
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, quality_split, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl_job")
+    src = root / "src"
+    chunks = [
+        [
+            _row("http://site.example/a", _prose("alpha")),
+            _row("http://site.example/b", _prose("beta")),
+            _row("http://site.example/spam", SPAM),
+        ],
+        [
+            # same canonical url as /a (tracking param stripped):
+            # Bloom-dropped before the near-dup stage ever sees it
+            _row("http://site.example/a?utm_source=x", _prose("gamma")),
+            # different url, same TEXT as /a: near-dup drop
+            _row("http://other.example/c", _prose("alpha")),
+            _row("http://site.example/d", _prose("delta")),
+        ],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"chunk={i}")
+        )
+    dirs = {k: str(root / k) for k in ("idx", "pairs", "corpus", "ck")}
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/chunk=*")
+        )
+        q = crawl_ingest_sink(
+            stream, dirs["idx"], dirs["pairs"], dirs["corpus"], ck,
+            quality_threshold=quality_split, n_shards=8,
+        )
+        q.awaitTermination(300)
+
+    run(dirs["ck"])
+    return spark, dirs, run
+
+
+def test_end_to_end_dedup_and_quality(ingested):
+    spark, dirs, _ = ingested
+    cur = read_curated(spark, dirs["corpus"])
+    urls = {r["url"] for r in cur.select("url").collect()}
+    # /a and /b and /d survive; spam quality-rejected; the utm re-fetch
+    # Bloom-dropped; the same-text other.example/c near-dup-dropped
+    assert urls == {
+        "http://site.example/a",
+        "http://site.example/b",
+        "http://site.example/d",
+    }
+    assert "quality_prob" in cur.columns
+    assert set(cur.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+    pairs = {
+        (r["batch_doc"], r["matched_doc"])
+        for r in read_neardup_pairs(spark, dirs["pairs"]).collect()
+    }
+    assert len(pairs) == 1
+    (a, b), = pairs
+    assert a.endswith("other.example/c") and b.endswith("site.example/a")
+
+
+def test_metrics_record_lineage(ingested):
+    spark, dirs, _ = ingested
+    m = read_ingest_metrics(dirs["corpus"])
+    assert [x["batch_id"] for x in m] == [0, 1]
+    assert m[0]["rows_after_neardup"] == 3
+    assert m[0]["quality_rejected"] == 1 and m[0]["rows_out"] == 2
+    # batch 1: utm re-fetch never reached the sink (Bloom), same-text
+    # page dropped by the index probe — one row through, none rejected
+    assert m[1]["rows_after_neardup"] == 1
+    assert m[1]["quality_rejected"] == 0 and m[1]["rows_out"] == 1
+    assert all(0.0 <= x["mean_quality"] <= 1.0 for x in m)
+
+
+def test_quality_rejected_page_still_anchors_dedup(ingested):
+    """The spam page is out of the corpus but IN the dedup index —
+    a later re-crawl of near-identical spam must still collapse."""
+    from tdigest_spark.streaming.neardup_stream import (
+        _load_manifest,
+        _segment_tables,
+    )
+
+    spark, dirs, _ = ingested
+    man = _load_manifest(dirs["idx"])
+    bands, _sh = _segment_tables(spark, dirs["idx"], man["segments"], None)
+    ids = {r["canon_url"] for r in bands.select("canon_url").distinct().collect()}
+    assert any(u.endswith("site.example/spam") for u in ids)
+
+
+def test_replay_is_exactly_once(ingested):
+    spark, dirs, run = ingested
+    before = sorted(
+        (r["url"],) for r in read_curated(spark, dirs["corpus"]).collect()
+    )
+    m_before = read_ingest_metrics(dirs["corpus"])
+    run(dirs["ck"] + "_replay")  # fresh checkpoint replays every batch
+    after = sorted(
+        (r["url"],) for r in read_curated(spark, dirs["corpus"]).collect()
+    )
+    assert after == before
+    assert read_ingest_metrics(dirs["corpus"]) == m_before
