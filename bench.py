@@ -466,13 +466,20 @@ def run_scaling(
     from tdigest_spark.operators.digest_agg import tdigest_agg as _td_agg
 
     j_lo, j_hi = jvals(lo_tasks), jvals(hi_tasks)
-    _td_agg(j_hi, "v", by=["g"], delta=200, build_engine="sql").count()
-    _td_agg(j_lo, "v", by=["g"], delta=200, build_engine="sql").count()
+    # two warm passes per leg: observed round-efficiency trends upward
+    # across the first ~3 timed rounds (C2-tier JIT of the codegen'd
+    # stages lands late at these run lengths) — warm until steady so
+    # the timed rounds measure the engine, not the compiler
+    for _ in range(2):
+        _td_agg(j_hi, "v", by=["g"], delta=200, build_engine="sql").count()
+        _td_agg(j_lo, "v", by=["g"], delta=200, build_engine="sql").count()
     jvm_rounds = []
     jvm_best = {"efficiency": -1.0}
-    # light (per-round driver) config: bound the leg's worst case the
-    # same way the kernel capture is bounded — fewer rounds/trials
-    n_jvm_rounds, n_jvm_trials = (3, 4) if trials > 3 else (2, 3)
+    # this leg is a scaling figure of record, so it gets the full
+    # round budget in every mode (the >=0.8 early break below bounds
+    # the common-case cost to one round; a noisy window costs at most
+    # two more quiet-waits + rounds, ~2 min)
+    n_jvm_rounds, n_jvm_trials = (5, 4)
     for rnd in range(n_jvm_rounds):
         _wait_for_quiet(max_wait=0 if rnd == 0 else 90)
         jt_lo, jt_hi = [], []
