@@ -172,3 +172,68 @@ def read_ingest_metrics(corpus_dir: str) -> list[dict]:
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def main() -> None:
+    """spark-submit --py-files tdigest_spark.zip -m tdigest_spark.jobs.crawl_ingest
+
+    Drains everything currently available from ``--src`` (availableNow
+    trigger), prints the per-batch lineage metrics plus a run summary,
+    and optionally folds the band-index segments afterwards
+    (``--compact`` — the LSM housekeeping that keeps probe fan-out
+    flat across repeated invocations of this job on a growing crawl).
+    """
+    import argparse
+
+    from tdigest_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="streaming crawl-ingest job")
+    ap.add_argument("--src", required=True, help="parquet dir of crawl pages")
+    ap.add_argument("--work-dir", required=True, help="root for index/pairs/corpus/checkpoint")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.6)
+    ap.add_argument(
+        "--quality-threshold", type=float, default=None,
+        help="drop pages whose logistic quality_prob falls below this (default: gate off)",
+    )
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="fold band-index segments into one after the drain",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("crawl_ingest")
+    schema = spark.read.parquet(args.src).schema
+    reader = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    dirs = {k: os.path.join(args.work_dir, k) for k in ("index", "pairs", "corpus", "checkpoint")}
+    q = crawl_ingest_sink(
+        reader.parquet(args.src),
+        dirs["index"], dirs["pairs"], dirs["corpus"], dirs["checkpoint"],
+        id_col=args.id_col, text_col=args.text_col,
+        threshold=args.threshold, quality_threshold=args.quality_threshold,
+    )
+    q.awaitTermination()
+    metrics = read_ingest_metrics(dirs["corpus"])
+    for m in metrics:
+        print(json.dumps(m))
+    summary = {
+        "batches": len(metrics),
+        "rows_out": sum(m["rows_out"] for m in metrics),
+        "quality_rejected": sum(m["quality_rejected"] for m in metrics),
+    }
+    if args.compact:
+        from tdigest_spark.streaming.neardup_stream import compact_neardup_segments
+
+        summary["segments_compacted"] = compact_neardup_segments(
+            spark, dirs["index"]
+        )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,42 @@ def test_quality_rejected_page_still_anchors_dedup(ingested):
     assert any(u.endswith("site.example/spam") for u in ids)
 
 
+def test_cli_smoke(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    src = tmp_path / "src"
+    rows = [
+        _row("http://cli.example/a", _prose("cliA")),
+        _row("http://cli.example/b", _prose("cliB")),
+        _row("http://dup.example/a2", _prose("cliA")),  # near-dup of /a
+    ]
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"chunk={i}")
+        )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tdigest_spark.jobs.crawl_ingest",
+            "--src", f"{src}/chunk=*",
+            "--work-dir", str(tmp_path / "work"),
+            "--max-files-per-trigger", "1",
+            "--compact",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    summary = lines[-1]
+    assert summary["batches"] == 3
+    assert summary["rows_out"] == 2  # the near-dup re-crawl collapsed
+    assert summary["quality_rejected"] == 0
+    assert summary["segments_compacted"] == 2  # dup batch added no segment
+
+
 def test_replay_is_exactly_once(ingested):
     spark, dirs, run = ingested
     before = sorted(
