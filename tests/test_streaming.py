@@ -490,6 +490,52 @@ def test_digest_sink_replay_is_idempotent(spark, sf_dir, stream_dir, tmp_path):
     assert after == before
 
 
+def test_digest_sink_replay_with_stateful_upstream(spark, stream_dir, tmp_path):
+    """The replay skip must still DRAIN the micro-batch: with a
+    stateful operator upstream (here streaming_bloom_dedup), an early
+    return leaves its per-partition state stores uncommitted and
+    Spark 4's commit validation fails the whole batch
+    (STATE_STORE_COMMIT_VALIDATION_FAILED) — the regression behind
+    streaming/_batch.py."""
+    from tdigest_spark.operators.digest_agg import tdigest_stats
+    from tdigest_spark.streaming.dedup_stream import streaming_bloom_dedup
+    from tdigest_spark.streaming.digest_stream import digest_sink
+
+    schema = "event_type string, value double"
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/chunk=*")
+        )
+        fresh = streaming_bloom_dedup(
+            stream.withColumn("k", F.concat_ws("|", "event_type", "value")),
+            "k", buckets=4,
+        ).drop("k")
+        q = digest_sink(
+            fresh, "value", ["event_type"], table, str(tmp_path / ck),
+            delta=LOSSLESS,
+        )
+        q.awaitTermination(300)
+
+    table = str(tmp_path / "digest_sink_stateful_replay")
+    run("ck_a")
+    stats = {"p50": ("quantile", 0.5), "n": ("total_weight",)}
+    before = {
+        r["event_type"]: (r["n"], r["p50"])
+        for r in tdigest_stats(spark.read.parquet(table), stats).collect()
+    }
+    # fresh checkpoint = fresh Bloom state AND redelivered batch ids:
+    # every batch must drain through the stateful stage, then skip
+    run("ck_b")
+    after = {
+        r["event_type"]: (r["n"], r["p50"])
+        for r in tdigest_stats(spark.read.parquet(table), stats).collect()
+    }
+    assert after == before
+
+
 def test_streaming_sliding_via_panes(spark, sf_dir, timed_stream_dir, tmp_path):
     """STREAMING sliding windows, the scale-correct composition: the
     stream aggregates each row ONCE into pane-sized (1 day) tumbling
