@@ -15,7 +15,17 @@ arrive while holding the corpus duplicate-free and quality-floored:
    without rescanning it.
 3. **Quality scoring** (optional) — the broadcast logistic scorer over
    the curation signals (all codegen, zero extra shuffle); rows under
-   the threshold are quarantined out of the curated corpus.
+   the threshold are quarantined out of the curated corpus. The
+   threshold is a fixed floor (``quality_threshold``), an ADAPTIVE one
+   (``quality_quantile``: quarantine the bottom q of scores relative
+   to a t-digest of every previously committed batch's scores — the
+   engine's own sketch as the pipeline's control loop, so the bar
+   tracks corpus drift instead of rotting like a hand-picked
+   constant), or both (the stricter wins). Each batch's cumulative
+   score digest rides the same exactly-once hook (deterministic
+   per-batch file + atomic replace); the threshold applied to batch N
+   depends only on batches < N, so a crash-replay re-decides batch N
+   identically.
 4. **Corpus + metrics commit** — survivors land in a per-batch corpus
    directory and a per-batch metrics JSON records lineage
    (post-dedup rows, quality-rejected, rows out, mean quality;
@@ -46,9 +56,51 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tdigest_spark.functions.urls import url_normalize
 
-__all__ = ["crawl_ingest_sink", "read_curated", "read_ingest_metrics"]
+__all__ = [
+    "crawl_ingest_sink",
+    "read_curated",
+    "read_ingest_metrics",
+    "read_score_digest",
+]
 
 _METRICS_SUB = "_metrics"
+_STATE_SUB = "_state"
+
+
+def _score_digest_path(corpus_dir: str, batch_id: int) -> str:
+    return os.path.join(corpus_dir, _STATE_SUB, f"score_digest_b{batch_id}.bin")
+
+
+def _latest_score_digest(corpus_dir: str, before_batch: int | None = None):
+    """The newest committed cumulative score digest (optionally only
+    batches < ``before_batch``), or None. Per-batch files are
+    deterministic overwrites keyed by batch id, so the newest eligible
+    file is always a fully-committed prior batch's digest — the same
+    crash-safety argument as ``read_curated``."""
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    sdir = os.path.join(corpus_dir, _STATE_SUB)
+    if not os.path.isdir(sdir):
+        return None
+    ids = [
+        int(n[len("score_digest_b"):-4])
+        for n in os.listdir(sdir)
+        if n.startswith("score_digest_b") and n.endswith(".bin")
+    ]
+    if before_batch is not None:
+        ids = [i for i in ids if i < before_batch]
+    if not ids:
+        return None
+    with open(_score_digest_path(corpus_dir, max(ids)), "rb") as f:
+        return TDigest.from_bytes(f.read())
+
+
+def read_score_digest(corpus_dir: str):
+    """The cumulative quality-score t-digest over every committed
+    batch (None before the first scored batch) — the distribution the
+    adaptive gate thresholds against; also the corpus-health dashboard
+    series (quantiles/CDF without rescanning any text)."""
+    return _latest_score_digest(corpus_dir)
 
 
 def crawl_ingest_sink(
@@ -61,18 +113,30 @@ def crawl_ingest_sink(
     text_col: str = "text",
     threshold: float = 0.6,
     quality_threshold: float | None = None,
+    quality_quantile: float | None = None,
     quality_weights: dict | None = None,
+    score_digest_delta: int = 200,
     bloom_buckets: int = 16,
     bloom_bits: int = 1 << 22,
     **neardup_kwargs,
 ):
     """Wire the four stages over ``stream`` and start it. Returns the
-    StreamingQuery. ``quality_threshold=None`` skips stage 3 entirely;
-    with a threshold, curated rows carry their ``quality_prob``.
+    StreamingQuery. With both quality gates ``None``, stage 3 is
+    skipped entirely; otherwise curated rows carry ``quality_prob``.
 
-    Exactly-once: corpus/metrics writes are deterministic per-batch
-    overwrites inside the near-dup sink's pre-commit hook; dedup
-    lineage and corpus contents can never disagree after a crash."""
+    ``quality_threshold``: fixed score floor. ``quality_quantile``:
+    adaptive floor — quarantine scores below this quantile of the
+    cumulative score digest of all PREVIOUSLY committed batches (batch
+    N's bar never depends on batch N, so replays re-decide
+    identically; the first scored batch has no history and applies
+    only the fixed floor, if any). Both set: the stricter floor wins
+    per batch. The applied floor is recorded per batch in the metrics
+    (``applied_quality_threshold``).
+
+    Exactly-once: corpus/metrics/score-digest writes are deterministic
+    per-batch overwrites inside the near-dup sink's pre-commit hook;
+    dedup lineage, corpus contents and the adaptive gate's state can
+    never disagree after a crash."""
     from tdigest_spark.streaming.dedup_stream import streaming_bloom_dedup
     from tdigest_spark.streaming.neardup_stream import neardup_ingest_sink
 
@@ -83,12 +147,15 @@ def crawl_ingest_sink(
         canon, "canon_url", buckets=bloom_buckets, n_bits=bloom_bits
     )
 
+    scoring = quality_threshold is not None or quality_quantile is not None
+
     def on_survivors(survivors: DataFrame, batch_id: int) -> None:
         out = survivors
         n_survived = out.count()
         n_quality_dropped = 0
         mean_quality = None
-        if quality_threshold is not None:
+        applied = None
+        if scoring:
             from tdigest_spark.functions.quality import score_quality
             from tdigest_spark.functions.textstats import (
                 with_curation_signals,
@@ -104,16 +171,46 @@ def crawl_ingest_sink(
                 if c not in out.columns and c != "quality_prob"
             ]
             scored = scored.drop(*added).localCheckpoint(eager=True)
+            applied = quality_threshold
+            if quality_quantile is not None:
+                prior = _latest_score_digest(corpus_dir, before_batch=batch_id)
+                if prior is not None and prior.total_weight > 0:
+                    adaptive = prior.quantile(quality_quantile)
+                    applied = (
+                        adaptive if applied is None else max(applied, adaptive)
+                    )
             agg = scored.agg(
                 F.count("*").alias("n"),
                 F.avg("quality_prob").alias("mq"),
                 F.sum(
-                    (F.col("quality_prob") < quality_threshold).cast("long")
+                    (F.col("quality_prob") < (applied if applied is not None else float("-inf"))).cast("long")
                 ).alias("nd"),
             ).collect()[0]
             mean_quality = agg["mq"]
             n_quality_dropped = int(agg["nd"] or 0)
-            out = scored.where(F.col("quality_prob") >= quality_threshold)
+            if applied is not None:
+                out = scored.where(F.col("quality_prob") >= applied)
+            else:
+                out = scored
+            if quality_quantile is not None and int(agg["n"] or 0) > 0:
+                # fold THIS batch's scores into the cumulative digest
+                # (one blob row collected — never the scores themselves);
+                # deterministic per-batch file, atomic replace
+                from tdigest_spark.operators.digest_agg import tdigest_agg
+                from tdigest_spark.sketch.tdigest import TDigest
+
+                row = tdigest_agg(
+                    scored, "quality_prob", delta=score_digest_delta
+                ).collect()[0]["digest"]
+                cum = TDigest.from_row(row)
+                prior = _latest_score_digest(corpus_dir, before_batch=batch_id)
+                if prior is not None:
+                    cum = prior.merge(cum)
+                os.makedirs(os.path.join(corpus_dir, _STATE_SUB), exist_ok=True)
+                dpath = _score_digest_path(corpus_dir, batch_id)
+                with open(dpath + ".tmp", "wb") as f:
+                    f.write(cum.to_bytes())
+                os.replace(dpath + ".tmp", dpath)
         out.write.mode("overwrite").parquet(
             os.path.join(corpus_dir, f"b{batch_id}")
         )
@@ -128,6 +225,7 @@ def crawl_ingest_sink(
                     "quality_rejected": n_quality_dropped,
                     "rows_out": n_survived - n_quality_dropped,
                     "mean_quality": mean_quality,
+                    "applied_quality_threshold": applied,
                 },
                 f,
             )
@@ -197,6 +295,11 @@ def main() -> None:
         "--quality-threshold", type=float, default=None,
         help="drop pages whose logistic quality_prob falls below this (default: gate off)",
     )
+    ap.add_argument(
+        "--quality-quantile", type=float, default=None,
+        help="adaptive gate: drop pages below this quantile of the cumulative "
+        "score digest of previously committed batches",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument(
         "--compact", action="store_true",
@@ -215,6 +318,7 @@ def main() -> None:
         dirs["index"], dirs["pairs"], dirs["corpus"], dirs["checkpoint"],
         id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, quality_threshold=args.quality_threshold,
+        quality_quantile=args.quality_quantile,
     )
     q.awaitTermination()
     metrics = read_ingest_metrics(dirs["corpus"])

@@ -151,6 +151,63 @@ def test_quality_rejected_page_still_anchors_dedup(ingested):
     assert any(u.endswith("site.example/spam") for u in ids)
 
 
+def test_adaptive_quality_gate(spark, tmp_path):
+    """quality_quantile thresholds each batch against the score digest
+    of PRIOR batches only: batch 0 sails through (no history), batch 1
+    is gated at the history's quantile — so the spam page that would
+    pass any lenient fixed floor is caught once real prose has set the
+    bar. Replay applies identical thresholds (metrics equality)."""
+    from tdigest_spark.jobs.crawl_ingest import read_score_digest
+
+    root = tmp_path / "adaptive"
+    src = root / "src"
+    chunks = [
+        [_row(f"http://q.example/{i}", _prose(f"tag{i}")) for i in range(4)],
+        [
+            _row("http://q.example/spam", SPAM),
+            _row("http://q.example/good", _prose("fresh")),
+        ],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"chunk={i}")
+        )
+    dirs = {k: str(root / k) for k in ("idx", "pairs", "corpus", "ck")}
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/chunk=*")
+        )
+        crawl_ingest_sink(
+            stream, dirs["idx"], dirs["pairs"], dirs["corpus"], ck,
+            quality_quantile=0.25, n_shards=8,
+        ).awaitTermination(300)
+
+    run(dirs["ck"])
+    m = read_ingest_metrics(dirs["corpus"])
+    assert m[0]["applied_quality_threshold"] is None  # no history yet
+    assert m[0]["quality_rejected"] == 0 and m[0]["rows_out"] == 4
+    # batch 1's bar = p25 of the four prose scores; spam scores far
+    # below every prose page, so it lands under the bar
+    assert m[1]["applied_quality_threshold"] is not None
+    assert m[1]["quality_rejected"] == 1 and m[1]["rows_out"] == 1
+    urls = {
+        r["url"] for r in read_curated(spark, dirs["corpus"]).select("url").collect()
+    }
+    assert "http://q.example/spam" not in urls
+    assert "http://q.example/good" in urls
+    # cumulative digest covers all six scored pages
+    dig = read_score_digest(dirs["corpus"])
+    assert dig is not None and dig.total_weight == 6.0
+    # fresh-checkpoint replay: skipped batches leave state + metrics
+    # byte-identical, including the applied thresholds
+    run(dirs["ck"] + "_replay")
+    assert read_ingest_metrics(dirs["corpus"]) == m
+    assert read_score_digest(dirs["corpus"]).total_weight == 6.0
+
+
 def test_cli_smoke(spark, tmp_path):
     import json
     import os
