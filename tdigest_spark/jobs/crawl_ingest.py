@@ -116,6 +116,9 @@ def crawl_ingest_sink(
     quality_quantile: float | None = None,
     quality_weights: dict | None = None,
     score_digest_delta: int = 200,
+    heldout: DataFrame | None = None,
+    heldout_id_col: str = "doc_id",
+    decon_threshold: float = 0.8,
     bloom_buckets: int = 16,
     bloom_bits: int = 1 << 22,
     **neardup_kwargs,
@@ -123,6 +126,16 @@ def crawl_ingest_sink(
     """Wire the four stages over ``stream`` and start it. Returns the
     StreamingQuery. With both quality gates ``None``, stage 3 is
     skipped entirely; otherwise curated rows carry ``quality_prob``.
+
+    ``heldout``: optional eval-set table (same ``text_col``) — each
+    batch is decontaminated against it (exact sha2 + near-dup LSH at
+    ``decon_threshold``, :func:`~tdigest_spark.operators.dedup.
+    decontaminate`) BEFORE the quality gate, so benchmark leakage
+    never reaches the corpus; the heldout side is broadcast-small by
+    contract and persisted once here, the batch pays its one existing
+    signature pass. Flagged pages still anchor the dedup index (same
+    rationale as quality-rejected pages: a re-crawl of a leaked page
+    should collapse, not re-litigate).
 
     ``quality_threshold``: fixed score floor. ``quality_quantile``:
     adaptive floor — quarantine scores below this quantile of the
@@ -148,13 +161,32 @@ def crawl_ingest_sink(
     )
 
     scoring = quality_threshold is not None or quality_quantile is not None
+    if heldout is not None:
+        heldout = heldout.persist()
 
     def on_survivors(survivors: DataFrame, batch_id: int) -> None:
         out = survivors
         n_survived = out.count()
+        n_contaminated = 0
         n_quality_dropped = 0
         mean_quality = None
         applied = None
+        if heldout is not None and n_survived:
+            from tdigest_spark.operators.dedup import decontaminate
+
+            flagged = (
+                decontaminate(
+                    out, heldout, id_col="canon_url", text_col=text_col,
+                    heldout_id_col=heldout_id_col,
+                    threshold=decon_threshold,
+                )
+                .select(F.col("corpus_id").alias("canon_url"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_contaminated = flagged.count()
+            if n_contaminated:
+                out = out.join(F.broadcast(flagged), "canon_url", "left_anti")
         if scoring:
             from tdigest_spark.functions.quality import score_quality
             from tdigest_spark.functions.textstats import (
@@ -222,8 +254,9 @@ def crawl_ingest_sink(
                 {
                     "batch_id": batch_id,
                     "rows_after_neardup": n_survived,
+                    "decontaminated": n_contaminated,
                     "quality_rejected": n_quality_dropped,
-                    "rows_out": n_survived - n_quality_dropped,
+                    "rows_out": n_survived - n_contaminated - n_quality_dropped,
                     "mean_quality": mean_quality,
                     "applied_quality_threshold": applied,
                 },
@@ -300,6 +333,13 @@ def main() -> None:
         help="adaptive gate: drop pages below this quantile of the cumulative "
         "score digest of previously committed batches",
     )
+    ap.add_argument(
+        "--heldout", default=None,
+        help="parquet path of an eval set to decontaminate against "
+        "(must carry --heldout-id-col and the stream's text column)",
+    )
+    ap.add_argument("--heldout-id-col", default="doc_id")
+    ap.add_argument("--decon-threshold", type=float, default=0.8)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument(
         "--compact", action="store_true",
@@ -319,6 +359,9 @@ def main() -> None:
         id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, quality_threshold=args.quality_threshold,
         quality_quantile=args.quality_quantile,
+        heldout=(spark.read.parquet(args.heldout) if args.heldout else None),
+        heldout_id_col=args.heldout_id_col,
+        decon_threshold=args.decon_threshold,
     )
     q.awaitTermination()
     metrics = read_ingest_metrics(dirs["corpus"])
@@ -327,6 +370,7 @@ def main() -> None:
     summary = {
         "batches": len(metrics),
         "rows_out": sum(m["rows_out"] for m in metrics),
+        "decontaminated": sum(m.get("decontaminated", 0) for m in metrics),
         "quality_rejected": sum(m["quality_rejected"] for m in metrics),
     }
     if args.compact:

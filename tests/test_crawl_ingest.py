@@ -208,6 +208,43 @@ def test_adaptive_quality_gate(spark, tmp_path):
     assert read_score_digest(dirs["corpus"]).total_weight == 6.0
 
 
+def test_decontamination_at_ingest(spark, tmp_path):
+    """A heldout eval set blocks corpus admission on both legs: exact
+    (byte-identical text) and near (LSH + Jaccard >= decon_threshold);
+    clean pages pass through and the lineage metrics count the drops."""
+    root = tmp_path / "decon"
+    src = root / "src"
+    keep = _prose("keepA")
+    leak_exact = _prose("leakX")
+    leak_near = _prose("leakY") + " zz yy xx"
+    spark.createDataFrame(
+        [
+            _row("http://d.example/keep", keep),
+            _row("http://d.example/exact", leak_exact),
+            _row("http://d.example/near", leak_near),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "chunk=0"))
+    heldout = spark.createDataFrame(
+        [(100, _prose("leakX")), (101, _prose("leakY"))],
+        "doc_id long, text string",
+    )
+    dirs = {k: str(root / k) for k in ("idx", "pairs", "corpus", "ck")}
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/chunk=*")
+    crawl_ingest_sink(
+        stream, dirs["idx"], dirs["pairs"], dirs["corpus"], dirs["ck"],
+        heldout=heldout, decon_threshold=0.8, n_shards=8,
+    ).awaitTermination(300)
+    urls = {
+        r["url"] for r in read_curated(spark, dirs["corpus"]).select("url").collect()
+    }
+    assert urls == {"http://d.example/keep"}
+    (m,) = read_ingest_metrics(dirs["corpus"])
+    assert m["rows_after_neardup"] == 3
+    assert m["decontaminated"] == 2
+    assert m["quality_rejected"] == 0 and m["rows_out"] == 1
+
+
 def test_cli_smoke(spark, tmp_path):
     import json
     import os
