@@ -245,6 +245,37 @@ def test_decontamination_at_ingest(spark, tmp_path):
     assert m["quality_rejected"] == 0 and m["rows_out"] == 1
 
 
+def test_decon_rows_excluded_from_adaptive_digest(spark, tmp_path):
+    """Stage order matters: decontamination runs BEFORE scoring, so a
+    leaked page never enters the adaptive gate's score digest — eval
+    contamination must not move the corpus quality bar."""
+    from tdigest_spark.jobs.crawl_ingest import read_score_digest
+
+    root = tmp_path / "compose"
+    src = root / "src"
+    spark.createDataFrame(
+        [
+            _row("http://c.example/a", _prose("alpha")),
+            _row("http://c.example/b", _prose("beta")),
+            _row("http://c.example/leak", _prose("leaked")),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "chunk=0"))
+    heldout = spark.createDataFrame(
+        [(7, _prose("leaked"))], "doc_id long, text string"
+    )
+    dirs = {k: str(root / k) for k in ("idx", "pairs", "corpus", "ck")}
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/chunk=*")
+    crawl_ingest_sink(
+        stream, dirs["idx"], dirs["pairs"], dirs["corpus"], dirs["ck"],
+        heldout=heldout, quality_quantile=0.25, n_shards=8,
+    ).awaitTermination(300)
+    (m,) = read_ingest_metrics(dirs["corpus"])
+    assert m["decontaminated"] == 1
+    # digest holds the two clean pages only
+    assert read_score_digest(dirs["corpus"]).total_weight == 2.0
+
+
 def test_cli_smoke(spark, tmp_path):
     import json
     import os
