@@ -296,18 +296,18 @@ def main() -> None:
 
     # the north_rule's two-cluster-size criterion: EVERY bench run
     # carries throughput at two parallelism levels + efficiency (the
-    # full protocol/caveats live in BENCH.md; --scaling runs the
-    # heavyweight capture: 6 interleaved trials and longer kernel legs
-    # over the same 32M-row workload)
+    # full protocol/caveats live in BENCH.md; --scaling runs longer
+    # kernel legs over the same 32M-row workload — the JVM-SQL leg
+    # gets its full round budget in BOTH modes, see run_scaling)
     if scaling:
         out["scaling"] = run_scaling()
     else:
-        # per-round driver capture: bound the worst-case duration (the
-        # retry fires exactly when the host is contended, which is also
-        # when everything else is slow) — 2 kernel rounds max here, the
-        # full 3 in --scaling
+        # per-round driver capture: shorter kernel iterations bound
+        # the worst-case duration (the retry fires exactly when the
+        # host is contended, which is also when everything else is
+        # slow)
         out["scaling"] = run_scaling(
-            trials=3, kernel_iters=40, kernel_trials=4, kernel_rounds=3
+            kernel_iters=40, kernel_trials=4, kernel_rounds=3
         )
 
     # Two-tier output (round-5 fix: the round-4 single line outgrew the
@@ -369,7 +369,6 @@ FLOOR_GOOD_SEC = 2.5
 def run_scaling(
     lo_tasks: int = 2,
     hi_tasks: int = 8,
-    trials: int = 6,
     rows: int = SCALE_ROWS,
     kernel_iters: int = 60,
     kernel_trials: int = 3,
@@ -378,9 +377,9 @@ def run_scaling(
     """north_rule two-cluster-size stand-in (see BENCH.md for the full
     protocol + caveats): the SAME global t-digest build at two task
     parallelism levels (N and 4N concurrent tasks — the local-mode
-    analog of N vs 4N executors) inside one session, trials
-    interleaved A/B and min-denoised because the sandbox host has
-    multi-tenant CPU noise. Also reports the pure-kernel
+    analog of N vs 4N executors) inside one session; each timed leg
+    interleaves lo/hi trials and is min-denoised + best-of-rounds
+    because the sandbox host has multi-tenant CPU noise. Also reports the pure-kernel
     multiprocessing scaling (no Spark), which isolates the algorithm's
     scalability from local-mode JVM sharing."""
     from pyspark.sql import functions as F
@@ -476,12 +475,19 @@ def run_scaling(
     jvm_rounds = []
     jvm_best = {"efficiency": -1.0}
     # this leg is a scaling figure of record, so it gets the full
-    # round budget in every mode (the >=0.8 early break below bounds
-    # the common-case cost to one round; a noisy window costs at most
-    # two more quiet-waits + rounds, ~2 min)
+    # round budget in every mode — but under a WALL-CLOCK budget:
+    # retries fire exactly when the host is contended, which is also
+    # when quiet-waits run long, so an unbounded 5x(wait+trials) loop
+    # could stall the whole bench past any driver timeout. The >=0.8
+    # early break bounds the common case to 1-2 rounds; the budget
+    # bounds the contended case and keeps the best round seen.
     n_jvm_rounds, n_jvm_trials = (5, 4)
+    jvm_budget_s = 300.0
+    jvm_t0 = time.perf_counter()
     for rnd in range(n_jvm_rounds):
-        _wait_for_quiet(max_wait=0 if rnd == 0 else 90)
+        if rnd and time.perf_counter() - jvm_t0 > jvm_budget_s:
+            break
+        _wait_for_quiet(max_wait=0 if rnd == 0 else 60)
         jt_lo, jt_hi = [], []
         for _ in range(n_jvm_trials):
             t0 = time.perf_counter()

@@ -448,6 +448,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip them (some conforming encoders pad here)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -99,7 +99,14 @@ def read_score_digest(corpus_dir: str):
     """The cumulative quality-score t-digest over every committed
     batch (None before the first scored batch) — the distribution the
     adaptive gate thresholds against; also the corpus-health dashboard
-    series (quantiles/CDF without rescanning any text)."""
+    series (quantiles/CDF without rescanning any text).
+
+    Crash window: the newest file may belong to a batch whose manifest
+    commit did not land (crash between the hook and the swap). Resuming
+    the stream heals it — the replay overwrites the file and commits —
+    so this only matters for a reader inspecting a crashed, unresumed
+    pipeline; the gate itself is immune (it thresholds batch N against
+    ids < N, all committed)."""
     return _latest_score_digest(corpus_dir)
 
 
@@ -165,6 +172,13 @@ def crawl_ingest_sink(
         heldout = heldout.persist()
 
     def on_survivors(survivors: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        # pin the batch's survivors: the hook triggers this plan (an
+        # anti-join over the micro-batch) up to four times (count,
+        # decontamination, scoring, corpus write) — without the pin
+        # each pass re-reads the batch input and re-runs the join
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
         out = survivors
         n_survived = out.count()
         n_contaminated = 0
@@ -215,7 +229,17 @@ def crawl_ingest_sink(
                 F.count("*").alias("n"),
                 F.avg("quality_prob").alias("mq"),
                 F.sum(
-                    (F.col("quality_prob") < (applied if applied is not None else float("-inf"))).cast("long")
+                    # NULL scores (e.g. empty/unextractable text) are
+                    # unquantifiable: any active bar rejects them, and
+                    # they are COUNTED — metrics must match the corpus
+                    F.when(
+                        F.lit(applied is not None)
+                        & (
+                            F.col("quality_prob").isNull()
+                            | (F.col("quality_prob") < F.lit(applied if applied is not None else 0.0))
+                        ),
+                        1,
+                    ).otherwise(0).cast("long")
                 ).alias("nd"),
             ).collect()[0]
             mean_quality = agg["mq"]
@@ -263,6 +287,7 @@ def crawl_ingest_sink(
                 f,
             )
         os.replace(tmp, mpath)
+        survivors.unpersist()
 
     return neardup_ingest_sink(
         fresh,
@@ -295,6 +320,8 @@ def read_curated(spark: SparkSession, corpus_dir: str) -> DataFrame:
 def read_ingest_metrics(corpus_dir: str) -> list[dict]:
     """Per-batch lineage/metrics records, batch order."""
     mdir = os.path.join(corpus_dir, _METRICS_SUB)
+    if not os.path.isdir(mdir):
+        return []  # zero batches fired (empty source / all checkpointed)
     out = []
     for name in sorted(
         os.listdir(mdir), key=lambda n: int(n[1:].split(".")[0])

@@ -236,7 +236,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, id_col: str, hash_col: str | None = None
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    hash_col: str | None = None,
+    pin_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only:
     |A ∩ B| via a shingle join restricted to candidates,
@@ -263,8 +267,14 @@ def jaccard_verify(
     else:
         shh = sh.select(id_col, F.col(hash_col).alias("__sh"))
     # pairs feeds the id-restriction AND the intersection join — pin it
-    # so the (possibly expensive) candidate pipeline upstream runs once
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # so the (possibly expensive) candidate pipeline upstream runs once.
+    # DataFrame cache entries are held by the CacheManager until
+    # explicitly unpersisted, so repeated callers (one call per
+    # micro-batch in the streaming sink) must pass pin_pairs=False and
+    # persist/unpersist the candidate input themselves — otherwise each
+    # call leaks one pinned plan for the life of the session.
+    if pin_pairs:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     # no distinct: left_semi ignores probe-side duplicates, and
     # skipping it saves a shuffle of the candidate id list
     cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(

@@ -258,10 +258,16 @@ def neardup_ingest_sink(
             # BOTH pair kinds; cross pairs keep (batch, index) as-is
             .where((~F.col("is_new")) | (F.col("id_a") > F.col("id_b")))
             .distinct()
+            # sink-managed pin (pin_pairs=False below): one call per
+            # micro-batch must not leak a CacheManager entry per batch
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         both_sh = q_sh if idx_sh is None else q_sh.unionByName(idx_sh)
         pairs = (
-            jaccard_verify(cands.drop("is_new"), both_sh, id_col, hash_col="sh")
+            jaccard_verify(
+                cands.drop("is_new"), both_sh, id_col,
+                hash_col="sh", pin_pairs=False,
+            )
             .where(F.col("jaccard") >= threshold)
             .join(cands, ["id_a", "id_b"])
             .select(
@@ -309,6 +315,7 @@ def neardup_ingest_sink(
         _commit_manifest(index_dir, manifest)
         q_bands.unpersist()
         q_sh.unpersist()
+        cands.unpersist()
         pairs.unpersist()
 
     return (
@@ -322,7 +329,14 @@ def neardup_ingest_sink(
 def read_neardup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """All emitted pairs across batches. Per-batch dirs are written
     with deterministic overwrite, so a crash-then-replay leftover is
-    byte-identical to its committed twin — the glob read is safe."""
+    byte-identical to its committed twin — the glob read is safe.
+
+    Pairs are written through ``write_table`` (Iceberg when the runtime
+    has it, else parquet), so they must be read back through
+    ``read_table``'s matching probe — a hardcoded parquet read would
+    misread an Iceberg-enabled deployment's pairs tables."""
+    from tdigest_spark.sources.catalog import read_table
+
     subs = sorted(
         os.path.join(pairs_dir, d)
         for d in os.listdir(pairs_dir)
@@ -330,7 +344,7 @@ def read_neardup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     )
     if not subs:
         raise ValueError(f"read_neardup_pairs: no batch dirs under {pairs_dir}")
-    return spark.read.parquet(*subs)
+    return read_table(spark, *subs)
 
 
 def compact_neardup_segments(

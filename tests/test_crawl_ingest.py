@@ -276,6 +276,39 @@ def test_decon_rows_excluded_from_adaptive_digest(spark, tmp_path):
     assert read_score_digest(dirs["corpus"]).total_weight == 2.0
 
 
+def test_null_score_pages_rejected_and_counted(spark, tmp_path, quality_split):
+    """A page whose text yields a NULL quality score (failed
+    extraction) is unquantifiable: any active bar must reject it AND
+    count it — the lineage metrics must match the written corpus."""
+    root = tmp_path / "nullscore"
+    src = root / "src"
+    spark.createDataFrame(
+        [
+            _row("http://n.example/good", _prose("fine")),
+            ("http://n.example/empty", datetime(2026, 1, 1), bytearray(b""), None, "en"),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "chunk=0"))
+    dirs = {k: str(root / k) for k in ("idx", "pairs", "corpus", "ck")}
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/chunk=*")
+    crawl_ingest_sink(
+        stream, dirs["idx"], dirs["pairs"], dirs["corpus"], dirs["ck"],
+        quality_threshold=quality_split, n_shards=8,
+    ).awaitTermination(300)
+    (m,) = read_ingest_metrics(dirs["corpus"])
+    urls = {
+        r["url"] for r in read_curated(spark, dirs["corpus"]).select("url").collect()
+    }
+    assert urls == {"http://n.example/good"}
+    assert m["quality_rejected"] == 1 and m["rows_out"] == 1  # metrics == corpus
+
+
+def test_read_ingest_metrics_zero_batches(tmp_path):
+    from tdigest_spark.jobs.crawl_ingest import read_ingest_metrics
+
+    assert read_ingest_metrics(str(tmp_path / "nowhere")) == []
+
+
 def test_cli_smoke(spark, tmp_path):
     import json
     import os

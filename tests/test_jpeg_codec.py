@@ -284,3 +284,16 @@ def test_jpeg_420_matches_pil_when_available():
         PIL.open(io.BytesIO(jpeg_encode(img, quality=90, subsampling="420")))
     )
     assert np.abs(theirs.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code; the walk must skip them, not misread segment lengths."""
+    img = (np.arange(64, dtype=np.float64).reshape(8, 8) * 3 % 256).astype(
+        np.uint8
+    )
+    data = jpeg_encode(img, quality=90)
+    # inject two fill bytes before the first post-SOI marker
+    assert data[2] == 0xFF
+    padded = data[:2] + b"\xff\xff" + data[2:]
+    np.testing.assert_array_equal(jpeg_decode(padded), jpeg_decode(data))
